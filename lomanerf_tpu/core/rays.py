@@ -1,0 +1,94 @@
+"""Ray generation and depth sampling.
+
+``get_rays`` reproduces /root/reference/train_nerf.py:23-62 exactly under the
+default flags:
+  * pixel grid is ``linspace(0, 1, width)`` meshgrid'ed 'xy' over BOTH axes
+    (the reference uses ``width`` for both; images are square),
+  * directions ``[(i - cx)/fx, -(j - cy)/fy, -1] @ R^T``,
+  * directions are NOT normalized (a recorded reference quirk),
+  * origins are the pose translation tiled per pixel.
+
+``sample_along_rays`` reproduces train_nerf.py:289-311: uniform
+``linspace(near, far, S)`` depths shared by all rays, with an optional
+stratified jitter (the reference sketches it but leaves it commented out),
+and ``dists`` = forward differences with a 1e8 far sentinel appended.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def normalized_intrinsics(focal: float) -> jnp.ndarray:
+    """K with normalized focal and principal point 0.5 (train_nerf.py:265-267)."""
+    return jnp.array(
+        [[focal, 0.0, 0.5], [0.0, focal, 0.5], [0.0, 0.0, 1.0]], dtype=jnp.float32
+    )
+
+
+def get_rays(
+    height: int,
+    width: int,
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    normalize: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel ray origins/directions in world space.
+
+    Returns ``(origins, directions)`` each of shape ``(width*width, 3)``
+    (flattened row-major like the reference's ``.flatten()`` of an 'xy'
+    meshgrid).  ``normalize=True`` unit-normalizes directions (the reference
+    never does for training; its unused ray_sampling.py:4-41 variant did).
+    """
+    coord = jnp.linspace(0.0, 1.0, width, dtype=jnp.float32)
+    i, j = jnp.meshgrid(coord, coord, indexing="xy")
+    i = i.reshape(-1)
+    j = j.reshape(-1)
+    directions = jnp.stack(
+        [
+            (i - K[0, 2]) / K[0, 0],
+            -(j - K[1, 2]) / K[1, 1],
+            -jnp.ones_like(i),
+        ],
+        axis=-1,
+    )
+    R = c2w[:3, :3].astype(jnp.float32)
+    T = c2w[:3, 3].astype(jnp.float32)
+    directions = directions @ R.T
+    if normalize:
+        directions = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(T, directions.shape)
+    return origins, directions
+
+
+def sample_along_rays(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    near: float,
+    far: float,
+    num_samples: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample points along rays at uniform (optionally stratified) depths.
+
+    Returns ``(points, t_vals, dists)`` with shapes ``(N, S, 3)``, ``(N, S)``
+    (or ``(S,)`` broadcast when unjittered), ``(N, S)``.  ``dists[..., -1]``
+    is the reference's 1e8 sentinel.
+    """
+    t = jnp.linspace(near, far, num_samples, dtype=jnp.float32)
+    n = origins.shape[0]
+    if key is not None:
+        # stratified: jitter each bin uniformly within its width, per ray
+        bin_width = (far - near) / num_samples
+        jitter = jax.random.uniform(key, (n, num_samples), dtype=jnp.float32)
+        t = t[None, :] + jitter * bin_width
+    else:
+        t = jnp.broadcast_to(t, (n, num_samples))
+    points = origins[:, None, :] + directions[:, None, :] * t[..., None]
+    dists = jnp.concatenate(
+        [t[..., 1:] - t[..., :-1], jnp.full_like(t[..., :1], 1e8)], axis=-1
+    )
+    return points, t, dists
