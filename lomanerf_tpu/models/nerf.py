@@ -1,0 +1,119 @@
+"""NeRF model family: a radiance-field MLP + volume renderer.
+
+Configs cover the BASELINE.json ladder:
+  * ``small()``   — the reference parity config: 3 layers x width 30,
+    pos-enc n=5 (in 33), 30 samples/ray, near/far 2/6
+    (/root/reference/train_nerf.py:189-203)
+  * ``single_view_64()`` — 64 samples/ray, 4-layer MLP (BASELINE config #3)
+  * ``full()``    — 8 layers x width 256, 128 samples/ray (BASELINE #4/#5)
+
+The model is functional: ``init`` makes a params pytree, ``render_rays`` /
+``loss`` evaluate it.  ``backend="jnp"`` uses the semantic core;
+``backend="pallas"`` routes to the fused TPU kernels in ``lomanerf_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lomanerf_tpu.core import encoding, losses, mlp, pipeline, rays
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    num_layers: int = 3
+    filter_size: int = 30
+    out_channels: int = 4
+    num_encoding_functions: int = 5
+    num_samples: int = 30
+    near: float = 2.0
+    far: float = 6.0
+    mode: str = "loma"  # transmittance mode: "loma" (reference parity) | "standard"
+    init: str = "he"
+    dtype: Any = jnp.float32
+
+    @property
+    def in_channels(self) -> int:
+        return encoding.encoded_dim(3, self.num_encoding_functions)
+
+    # ---- the BASELINE.json config ladder ----
+    @staticmethod
+    def small() -> "NeRFConfig":
+        return NeRFConfig()
+
+    @staticmethod
+    def single_view_64() -> "NeRFConfig":
+        return NeRFConfig(num_layers=4, filter_size=64, num_samples=64)
+
+    @staticmethod
+    def full() -> "NeRFConfig":
+        return NeRFConfig(
+            num_layers=8, filter_size=256, num_samples=128, mode="standard"
+        )
+
+
+class NeRFModel:
+    def __init__(self, config: NeRFConfig, backend: str = "jnp"):
+        self.config = config
+        self.backend = backend
+
+    def init(self, key: jax.Array) -> mlp.Params:
+        c = self.config
+        return mlp.init_mlp(
+            key,
+            c.in_channels,
+            c.out_channels,
+            c.num_layers,
+            c.filter_size,
+            init=c.init,
+            dtype=c.dtype,
+        )
+
+    def sample(self, origins, directions, key: Optional[jax.Array] = None):
+        c = self.config
+        return rays.sample_along_rays(
+            origins, directions, c.near, c.far, c.num_samples, key=key
+        )
+
+    def render_rays(self, params, origins, directions, t_vals, dists) -> jnp.ndarray:
+        c = self.config
+        if self.backend == "pallas":
+            from lomanerf_tpu.ops import fused_nerf
+
+            return fused_nerf.render_rays(
+                params, origins, directions, t_vals, dists, c
+            )
+        return pipeline.nerf_render_rays(
+            params,
+            origins,
+            directions,
+            t_vals,
+            dists,
+            num_functions=c.num_encoding_functions,
+            mode=c.mode,
+        )
+
+    def loss(self, params, origins, directions, t_vals, dists, target) -> jnp.ndarray:
+        pred = self.render_rays(params, origins, directions, t_vals, dists)
+        return losses.sum_mse(pred, target)
+
+    def render_image(
+        self, params, K, c2w, img_size: int, chunk: int = 4096
+    ) -> jnp.ndarray:
+        """Chunked full-image render (the reference renders view 2 every 25
+        iters chunk-by-chunk, train_nerf.py:558-712)."""
+        o, d = rays.get_rays(img_size, img_size, K, c2w)
+        out = []
+        for start in range(0, o.shape[0], chunk):
+            oc, dc = o[start : start + chunk], d[start : start + chunk]
+            pts, tv, dists = self.sample(oc, dc)
+            out.append(self.render_rays(params, oc, dc, tv, dists))
+        return jnp.concatenate(out, axis=0).reshape(img_size, img_size, 3)
+
+
+def count_params(params: mlp.Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

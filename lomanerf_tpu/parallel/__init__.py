@@ -1,1 +1,22 @@
-"""placeholder"""
+"""Mesh + collectives parallelism (data-parallel rays, tensor-parallel MLP)."""
+
+from lomanerf_tpu.parallel.mesh import (  # noqa: F401
+    data_mesh,
+    initialize_multihost,
+    make_mesh,
+    ray_sharding,
+    replicated,
+    shard_batch,
+)
+from lomanerf_tpu.parallel.tp import (  # noqa: F401
+    shard_tp_params,
+    tp_mlp_apply,
+    tp_param_specs,
+)
+from lomanerf_tpu.parallel.train_step import (  # noqa: F401
+    RayBatch,
+    make_train_step,
+    place_state,
+    render_rays_local,
+    state_specs,
+)

@@ -1,0 +1,175 @@
+"""Sharded training steps: shard_map over a (data[, model]) mesh.
+
+Rays are sharded on the ``data`` axis (they are independent — the structural
+analog of the reference's host-side ray chunking, train_nerf.py:275-286, done
+properly); params are replicated across ``data`` and optionally sharded over
+``model`` (see parallel.tp).  Weight-gradient reduction is ``lax.psum`` over
+ICI — the TPU-native replacement for loma's ``atomic_add`` adjoint
+accumulation (reverse_diff.py:144-155).  XLA's latency-hiding scheduler
+overlaps the per-layer psums with the remaining backward compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map_fn
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_fn
+
+from lomanerf_tpu.core import composite, encoding, losses
+from lomanerf_tpu.core.mlp import Params, mlp_apply
+from lomanerf_tpu.parallel.tp import tp_mlp_apply, tp_param_specs
+
+
+class RayBatch(NamedTuple):
+    """One training batch of rays (leading dim sharded over ``data``)."""
+
+    origins: jnp.ndarray  # (N, 3)
+    directions: jnp.ndarray  # (N, 3)
+    t_vals: jnp.ndarray  # (N, S)
+    dists: jnp.ndarray  # (N, S)
+    target: jnp.ndarray  # (N, 3)
+
+
+def render_rays_local(
+    params: Params,
+    batch: RayBatch,
+    num_functions: int,
+    mode: str,
+    mlp_fn: Callable,
+    backend: str = "jnp",
+    config=None,
+) -> jnp.ndarray:
+    """Render the rays owned by this shard (runs inside shard_map)."""
+    if backend == "pallas":
+        from lomanerf_tpu.ops import fused_nerf
+
+        return fused_nerf.render_rays(
+            params, batch.origins, batch.directions, batch.t_vals, batch.dists, config
+        )
+    pts = (
+        batch.origins[:, None, :]
+        + batch.directions[:, None, :] * batch.t_vals[..., None]
+    )
+    enc = encoding.positional_encoding(pts, num_functions)
+    n, s, f = enc.shape
+    rgba = mlp_fn(params, enc.reshape(n * s, f)).reshape(n, s, -1)
+    weights = composite.render_weights(rgba[..., 3], batch.dists, mode=mode)
+    return composite.accumulate_color(weights, rgba[..., :3])
+
+
+def _mirror_spec(opt_state, params, p_spec):
+    """PartitionSpec tree for an optax state.
+
+    Optimizer moments (adam m/v, momentum, ...) are sub-trees that mirror the
+    param tree, so an opt-state leaf whose key-path *ends with* a param's
+    key-path gets that param's spec; everything else (step counts) is
+    replicated."""
+    flat_params, treedef = jax.tree.flatten_with_path(params)
+    flat_specs = jax.tree.flatten(params)[1].flatten_up_to(p_spec)
+    by_path = {
+        tuple(str(k) for k in path): spec
+        for (path, _), spec in zip(flat_params, flat_specs)
+    }
+    max_len = max((len(p) for p in by_path), default=0)
+
+    def leaf_spec(path, x):
+        keys = tuple(str(k) for k in path)
+        for k in range(max(0, len(keys) - max_len), len(keys)):
+            spec = by_path.get(keys[k:])
+            if spec is not None:
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, opt_state)
+
+
+def state_specs(config, params, opt_state, tp: bool = False):
+    """(param_spec, opt_state_spec) PartitionSpec trees for the train state."""
+    if tp:
+        p_spec = tp_param_specs(config.num_layers)
+    else:
+        p_spec = jax.tree.map(lambda _: P(), params)
+    return p_spec, _mirror_spec(opt_state, params, p_spec)
+
+
+def place_state(mesh: Mesh, config, params, opt_state, tp: bool = False):
+    """Device-put (params, opt_state) onto the mesh with train-step sharding
+    (replicated over data, TP-sharded over model).  Needed e.g. after a
+    checkpoint restore, which leaves arrays committed to one device."""
+    from jax.sharding import NamedSharding
+
+    p_spec, o_spec = state_specs(config, params, opt_state, tp)
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params,
+        p_spec,
+    )
+    opt_state = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), opt_state,
+        o_spec,
+    )
+    return params, opt_state
+
+
+def make_train_step(
+    config,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    params: Params,
+    opt_state,
+    tp: bool = False,
+    backend: str = "jnp",
+    donate: bool = True,
+):
+    """Build a jitted sharded NeRF train step.
+
+    Args:
+        config: NeRFConfig.
+        params / opt_state: example pytrees (for sharding-spec derivation;
+            their values are not captured).
+        tp: also tensor-parallel the MLP over the ``model`` mesh axis.
+        backend: "jnp" or "pallas" for the per-shard render.
+
+    Returns:
+        ``step(params, opt_state, batch) -> (params, opt_state, loss)``.
+    """
+    if tp:
+        mlp_fn = functools.partial(tp_mlp_apply, head="rgba", axis_name="model")
+    else:
+        mlp_fn = functools.partial(mlp_apply, head="rgba")
+    p_spec, o_spec = state_specs(config, params, opt_state, tp)
+    batch_spec = RayBatch(P("data"), P("data"), P("data"), P("data"), P("data"))
+
+    def local_step(params, opt_state, batch):
+        def loss_fn(p):
+            pred = render_rays_local(
+                p, batch, config.num_encoding_functions, config.mode, mlp_fn,
+                backend, config,
+            )
+            return losses.sum_mse(pred, batch.target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # gradient all-reduce over the ray shards (ICI collective — the
+        # TPU-native analog of loma's atomic_add adjoint accumulation)
+        grads = jax.lax.psum(grads, "data")
+        loss = jax.lax.psum(loss, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = _shard_map_fn(
+        local_step,
+        mesh=mesh,
+        in_specs=(p_spec, o_spec, batch_spec),
+        out_specs=(p_spec, o_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())

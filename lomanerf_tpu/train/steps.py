@@ -1,0 +1,76 @@
+"""Single-chip train steps (jitted, donated) for both model families."""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lomanerf_tpu.core import composite, encoding, losses
+from lomanerf_tpu.core.mlp import Params, mlp_apply
+
+
+def nerf_loss_fn(params, origins, directions, t_vals, dists, target, cfg,
+                 backend: str = "jnp"):
+    if backend == "pallas":
+        from lomanerf_tpu.ops import fused_nerf
+
+        pred = fused_nerf.render_rays(params, origins, directions, t_vals,
+                                      dists, cfg)
+    else:
+        pts = origins[:, None, :] + directions[:, None, :] * t_vals[..., None]
+        enc = encoding.positional_encoding(pts, cfg.num_encoding_functions)
+        n, s, f = enc.shape
+        rgba = mlp_apply(params, enc.reshape(n * s, f), head="rgba").reshape(
+            n, s, -1
+        )
+        weights = composite.render_weights(rgba[..., 3], dists, mode=cfg.mode)
+        pred = composite.accumulate_color(weights, rgba[..., :3])
+    return losses.sum_mse(pred, target)
+
+
+def make_single_chip_train_step(
+    cfg, optimizer: optax.GradientTransformation, backend: str = "jnp",
+    donate: bool = True,
+) -> Callable:
+    """step(params, opt_state, origins, directions, t_vals, dists, target)
+    -> (params, opt_state, loss), jitted with donated carry."""
+
+    def step(params, opt_state, origins, directions, t_vals, dists, target):
+        loss, grads = jax.value_and_grad(nerf_loss_fn)(
+            params, origins, directions, t_vals, dists, target, cfg, backend
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_image_fit_step(
+    cfg, optimizer: optax.GradientTransformation, backend: str = "jnp",
+    donate: bool = True,
+) -> Callable:
+    """2D-fit step: step(params, opt_state, coords_encoded, target, seed)."""
+
+    def loss_fn(params, enc, target):
+        if backend == "pallas":
+            from lomanerf_tpu.ops import fused_mlp
+
+            pred = fused_mlp.mlp_forward(params, enc, head="sigmoid")
+        else:
+            pred = mlp_apply(params, enc, head="sigmoid")
+        return losses.sum_mse(pred, target)
+
+    def step(params, opt_state, enc, target, seed=None):
+        loss, vjp = jax.vjp(lambda p: loss_fn(p, enc, target), params)
+        s = jnp.asarray(1.0 if seed is None else seed, dtype=loss.dtype)
+        (grads,) = vjp(s)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())

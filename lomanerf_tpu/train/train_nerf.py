@@ -1,0 +1,178 @@
+"""NeRF training driver (the ``train_nerf.py`` capability).
+
+Trains a radiance field on a Blender-format dataset (or an auto-generated
+synthetic scene) with rays sharded over the device mesh.  TPU-first
+differences from the reference:
+  * per step, a fixed-size random ray batch from a random view (static
+    shapes for XLA) instead of the reference's 4-ray chunk loop;
+  * data-parallel over all devices via shard_map + psum (the reference is
+    single-core serial C);
+  * optional stratified depth jitter (the reference sketches it, commented
+    out, train_nerf.py:290-294);
+  * real checkpointing/resume; PSNR eval renders like the reference's
+    every-25-iters view-2 dump (train_nerf.py:558-712).
+
+Run: ``python -m lomanerf_tpu.train.train_nerf --data synthetic --steps 500``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="synthetic",
+                    help="'synthetic' or a Blender-format dataset dir")
+    ap.add_argument("--img-size", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=50000)
+    ap.add_argument("--rays-per-batch", type=int, default=4096)
+    ap.add_argument("--samples", type=int, default=30)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--width", type=int, default=30)
+    ap.add_argument("--enc-functions", type=int, default=5)
+    ap.add_argument("--near", type=float, default=2.0)
+    ap.add_argument("--far", type=float, default=6.0)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--optimizer", default="adam",
+                    choices=["adam", "loma_adam", "sgd"])
+    ap.add_argument("--mode", default="loma", choices=["loma", "standard"],
+                    help="transmittance mode (loma = reference parity)")
+    ap.add_argument("--stratified", action="store_true",
+                    help="jitter depth samples per ray")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--eval-view", type=int, default=2)
+    ap.add_argument("--log-dir", default="logs_3d")
+    ap.add_argument("--ckpt-dir", default="checkpoints/train_nerf")
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=215)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import optax
+
+    from lomanerf_tpu.core import get_rays, normalized_intrinsics, psnr, \
+        sample_along_rays
+    from lomanerf_tpu.data import NeRFDataset, write_blender_dataset
+    from lomanerf_tpu.models import NeRFConfig, NeRFModel
+    from lomanerf_tpu.parallel import RayBatch, make_mesh, make_train_step, \
+        place_state, shard_batch
+    from lomanerf_tpu.train import checkpoint, optim
+    from lomanerf_tpu.train.logging_utils import MetricsLogger, save_triptych
+
+    cfg = NeRFConfig(
+        num_layers=args.layers,
+        filter_size=args.width,
+        num_encoding_functions=args.enc_functions,
+        num_samples=args.samples,
+        near=args.near,
+        far=args.far,
+        mode=args.mode,
+    )
+    model = NeRFModel(cfg, backend=args.backend)
+
+    data_dir = args.data
+    if data_dir == "synthetic":
+        data_dir = os.path.join("data", "synthetic_scene")
+        if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
+            print("generating synthetic Blender-format dataset...")
+            write_blender_dataset(data_dir, n_frames=16, img_size=args.img_size)
+    dataset = NeRFDataset(data_dir, img_size=args.img_size, phase="train")
+    focal = dataset.focal_length
+    K = normalized_intrinsics(focal)
+
+    # preload all views (tiny) into host arrays
+    images = np.stack([dataset[i]["image"] for i in range(len(dataset))])
+    poses = np.stack([dataset[i]["pose"] for i in range(len(dataset))])
+
+    # precompute per-view rays once (pose set is static)
+    all_o, all_d = [], []
+    for p in poses:
+        o, d = get_rays(args.img_size, args.img_size, K, jnp.asarray(p))
+        all_o.append(np.asarray(o))
+        all_d.append(np.asarray(d))
+    all_o = np.stack(all_o)  # (V, HW, 3)
+    all_d = np.stack(all_d)
+    all_t = images.reshape(len(dataset), -1, 3)
+
+    params = model.init(jax.random.PRNGKey(args.seed))
+    opt = {
+        "adam": optax.adam(args.lr),
+        "loma_adam": optim.loma_adam(args.lr),
+        "sgd": optim.loma_sgd(args.lr),
+    }[args.optimizer]
+    opt_state = opt.init(params)
+
+    n_dev = jax.device_count()
+    tp = args.tp
+    mesh = make_mesh(dp=n_dev // tp, tp=tp)
+    step_fn = make_train_step(
+        cfg, opt, mesh, params, opt_state, tp=(tp > 1), backend=args.backend,
+        donate=False,
+    )
+
+    ckpt = checkpoint.CheckpointManager(args.ckpt_dir)
+    start_step = 0
+    if args.resume and ckpt.latest_step() is not None:
+        params, opt_state, start_step = ckpt.restore(params, opt_state)
+        # restored arrays are committed to one device; re-place on the mesh
+        params, opt_state = place_state(mesh, cfg, params, opt_state,
+                                        tp=(tp > 1))
+        print(f"resumed from step {start_step}")
+
+    logger = MetricsLogger(args.log_dir)
+    rng = np.random.default_rng(args.seed)
+    jkey = jax.random.PRNGKey(args.seed)
+    psnrs, losses = [], []
+
+    n_rays = args.rays_per_batch
+    for i in range(start_step, args.steps):
+        v = rng.integers(len(dataset))
+        idx = rng.integers(all_o.shape[1], size=n_rays)
+        o = jnp.asarray(all_o[v, idx])
+        d = jnp.asarray(all_d[v, idx])
+        key = None
+        if args.stratified:
+            jkey, key = jax.random.split(jkey)
+        _, t_vals, dists = sample_along_rays(
+            o, d, cfg.near, cfg.far, cfg.num_samples, key=key
+        )
+        batch = shard_batch(
+            mesh, RayBatch(o, d, t_vals, dists, jnp.asarray(all_t[v, idx]))
+        )
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        losses.append(float(loss))
+
+        if i % args.eval_every == 0:
+            view = args.eval_view % len(dataset)
+            img = model.render_image(params, K, jnp.asarray(poses[view]),
+                                     args.img_size)
+            p = float(psnr(jnp.asarray(images[view]), img))
+            psnrs.append(p)
+            logger.log(i, loss=losses[-1], psnr=p)
+            print(f"step {i} loss {losses[-1]:.4f} psnr {p:.2f} dB")
+            save_triptych(
+                os.path.join(args.log_dir, f"{i}.png"),
+                images[view], np.asarray(img), psnrs, curve_label="PSNR",
+            )
+        if args.ckpt_every and i and i % args.ckpt_every == 0:
+            ckpt.save(i, params, opt_state)
+
+    ckpt.save(args.steps, params, opt_state)
+    logger.close()
+    print(f"done; final loss {losses[-1]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+Tier-3 analog of the reference's parallel reduction tests
+(hw_tests/hw3/test.py:452-515, atomic-add fan-in vs numpy): here the psum'd
+data-parallel gradients must equal the single-device gradients, and the
+tensor-parallel MLP must match the replicated MLP bitwise-closely.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lomanerf_tpu.core import init_mlp, mlp_apply, sample_along_rays
+from lomanerf_tpu.core.pipeline import nerf_loss_rays
+from lomanerf_tpu.models import NeRFConfig
+from lomanerf_tpu.parallel import (
+    RayBatch,
+    make_mesh,
+    make_train_step,
+    shard_tp_params,
+    tp_mlp_apply,
+    tp_param_specs,
+)
+
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+
+def _ray_batch(rng, n, s, cfg):
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, s)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    return RayBatch(o, d, t, dists, target)
+
+
+def test_dp_train_step_matches_single_device(rng):
+    cfg = NeRFConfig.small()
+    mesh = make_mesh(dp=8, tp=1, axis_names=("data", "model"))
+    params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels, 4, cfg.num_layers,
+                      cfg.filter_size)
+    opt = optax.sgd(1e-3)
+    opt_state = opt.init(params)
+    batch = _ray_batch(rng, 32, cfg.num_samples, cfg)
+
+    step = make_train_step(cfg, opt, mesh, params, opt_state, donate=False)
+    new_params, _, loss = step(params, opt_state, batch)
+
+    # single-device reference
+    loss_ref, grads_ref = jax.value_and_grad(
+        lambda p: nerf_loss_rays(
+            p, batch.origins, batch.directions, batch.t_vals, batch.dists,
+            batch.target, num_functions=cfg.num_encoding_functions, mode=cfg.mode,
+        )
+    )(params)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    expect = jax.tree.map(lambda p, g: p - 1e-3 * g, params, grads_ref)
+    for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_tp_mlp_matches_replicated(rng):
+    """4-layer width-32 MLP, tp=4: sharded forward == replicated forward."""
+    tp = 4
+    mesh = make_mesh(dp=2, tp=tp, axis_names=("data", "model"))
+    params = init_mlp(jax.random.PRNGKey(1), 33, 4, num_layers=4, filter_size=32)
+    x = jnp.asarray(rng.standard_normal((16, 33)).astype(np.float32))
+
+    full = mlp_apply(params, x, head="rgba")
+
+    local = [shard_tp_params(params, 4, tp, i) for i in range(tp)]
+    # stack shards into global arrays laid out for tp_param_specs
+    p_spec = tp_param_specs(4)
+
+    def stack(i_layer, which):
+        shards = [l[which][i_layer] for l in local]
+        axis = 1 if (i_layer % 2 == 0 and which == "w") else 0
+        if which == "b" and i_layer % 2 == 1:
+            return local[0][which][i_layer]  # replicated bias
+        return jnp.concatenate(shards, axis=axis)
+
+    gparams = {
+        "w": [stack(i, "w") for i in range(4)],
+        "b": [stack(i, "b") for i in range(4)],
+    }
+    # sanity: reassembled == original
+    for a, b in zip(jax.tree.leaves(gparams), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    fn = shard_map(
+        lambda p, xx: tp_mlp_apply(p, xx, head="rgba"),
+        mesh=mesh,
+        in_specs=(p_spec, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = fn(gparams, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_tp_odd_layers_all_gather_tail(rng):
+    """3 layers ends column-parallel; the all-gather tail must still match."""
+    tp = 2
+    mesh = make_mesh(dp=4, tp=tp, axis_names=("data", "model"))
+    params = init_mlp(jax.random.PRNGKey(2), 33, 4, num_layers=3, filter_size=30)
+    x = jnp.asarray(rng.standard_normal((8, 33)).astype(np.float32))
+    full = mlp_apply(params, x, head="rgba")
+    p_spec = tp_param_specs(3)
+    fn = shard_map(
+        lambda p, xx: tp_mlp_apply(p, xx, head="rgba"),
+        mesh=mesh,
+        in_specs=(p_spec, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = fn(params, x)  # jit+shard_map shards the params per spec
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_dp_tp_train_step_runs_and_improves(rng):
+    """Full dp=2 x tp=4 train step: loss decreases over a few iterations."""
+    cfg = NeRFConfig(num_layers=4, filter_size=32, num_samples=8)
+    mesh = make_mesh(dp=2, tp=4, axis_names=("data", "model"))
+    params = init_mlp(jax.random.PRNGKey(3), cfg.in_channels, 4, cfg.num_layers,
+                      cfg.filter_size)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+    batch = _ray_batch(rng, 16, cfg.num_samples, cfg)
+    step = make_train_step(cfg, opt, mesh, params, opt_state, tp=True,
+                           donate=False)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
