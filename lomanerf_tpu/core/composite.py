@@ -37,8 +37,14 @@ def render_weights(
     Returns:
         weights, shape ``(..., S)``.
     """
-    alpha = 1.0 - jnp.exp(-sigma * dists)
-    c = 1.0 - alpha + EPS
+    # NOTE: written as c = e + EPS rather than the reference's literal
+    # ``1 - alpha + 1e-10``: XLA reassociates the latter to (1 + 1e-10) -
+    # alpha and constant-folds 1 + 1e-10 == 1.0f, silently dropping the
+    # epsilon and producing c == 0 (NaN adjoints) for saturated alpha.  The
+    # two forms are algebraically identical (alpha = 1 - e).
+    e = jnp.exp(-sigma * dists)
+    alpha = 1.0 - e
+    c = e + EPS
     if mode == "loma":
         trans = jnp.cumprod(c, axis=-1)
         trans = trans.at[..., 0].set(1.0)

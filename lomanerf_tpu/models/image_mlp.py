@@ -73,16 +73,24 @@ class ImageFieldModel:
         )
 
     def predict(self, params, coords_encoded: jnp.ndarray) -> jnp.ndarray:
+        """Predict from pre-encoded inputs (parity path; always jnp)."""
+        return pipeline.image_fit_pred(params, coords_encoded)
+
+    def predict_coords(self, params, coords: jnp.ndarray) -> jnp.ndarray:
+        """Predict from raw (N, 2) coords — fused encode+MLP on pallas."""
         if self.backend == "pallas":
             from lomanerf_tpu.ops import fused_mlp
 
-            return fused_mlp.mlp_forward(params, coords_encoded, head="sigmoid")
-        return pipeline.image_fit_pred(params, coords_encoded)
+            return fused_mlp.field_forward(
+                params, coords, self.config.num_encoding_functions,
+                out_channels=self.config.out_channels,
+            )
+        return pipeline.image_fit_pred(params, self.encode(coords))
 
-    def loss(self, params, coords_encoded, target) -> jnp.ndarray:
-        return losses.sum_mse(self.predict(params, coords_encoded), target)
+    def loss(self, params, coords, target) -> jnp.ndarray:
+        return losses.sum_mse(self.predict_coords(params, coords), target)
 
     def render(self, params, img_size: Optional[int] = None) -> jnp.ndarray:
         size = img_size or self.config.img_size
-        enc = self.encode(image_grid_coords(size))
-        return self.predict(params, enc).reshape(size, size, 3)
+        coords = image_grid_coords(size)
+        return self.predict_coords(params, coords).reshape(size, size, 3)

@@ -1,0 +1,145 @@
+"""Shared machinery for the fused Pallas kernels.
+
+Key layout decisions (see ops/fused_nerf.py for the full picture):
+
+* All per-sample tensors live as ``(rows, PW)`` (features on lanes) or
+  ``(rows, 1)`` (scalars) where ``rows = tile_rays * num_samples`` — no
+  in-kernel relayouts between sublane- and lane-major data.
+* Positional encoding is expressed as a linear map plus masked sin/cos:
+  ``P = x @ E`` puts ``2^i * x_k`` in every output lane, then
+  ``enc = m_id*P + m_sin*sin(P) + m_cos*cos(P)`` reproduces the reference's
+  block layout ``[x | sin(2^0 x) | cos(2^0 x) | ...]`` (pos_encoding.py:20-32)
+  without narrow column writes.
+* Per-ray compositing scans (inclusive cumprod, suffix sums) run on
+  ``(rows, 1)`` arrays as segmented Hillis-Steele passes using sublane rolls
+  and ``s_idx = row mod S`` masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_encoding_consts(
+    in_dim: int, num_functions: int, pw: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(E, masks): E is (in_dim, pw) mapping coords to scaled copies; masks is
+    (3, pw) fp32 rows [identity, sin, cos].  Lanes beyond the encoded dim are
+    zero in E and all masks."""
+    n_blocks = 1 + 2 * num_functions
+    enc_dim = in_dim * n_blocks
+    assert enc_dim <= pw, (enc_dim, pw)
+    E = np.zeros((in_dim, pw), np.float32)
+    masks = np.zeros((3, pw), np.float32)
+    for j in range(enc_dim):
+        block, k = divmod(j, in_dim)
+        if block == 0:
+            scale, sel = 1.0, 0
+        elif block % 2 == 1:
+            scale, sel = 2.0 ** ((block - 1) // 2), 1
+        else:
+            scale, sel = 2.0 ** (block // 2 - 1), 2
+        E[k, j] = scale
+        masks[sel, j] = 1.0
+    return E, masks
+
+
+def stack_padded_params(params, pw: int):
+    """Pad each layer's (in, out) weight to (pw, pw) / bias to (pw,) and
+    stack: returns (L, pw, pw) and (L, pw).  Zero padding keeps padded lanes
+    inert and their gradients structurally zero (the reference's pad_array
+    discipline, mlp_utils.py:272-313, done on-device)."""
+    ws, bs = params["w"], params["b"]
+    L = len(ws)
+    w_stack = jnp.zeros((L, pw, pw), jnp.float32)
+    b_stack = jnp.zeros((L, pw), jnp.float32)
+    for i, (w, b) in enumerate(zip(ws, bs)):
+        w_stack = w_stack.at[i, : w.shape[0], : w.shape[1]].set(
+            w.astype(jnp.float32)
+        )
+        b_stack = b_stack.at[i, : b.shape[0]].set(b.astype(jnp.float32))
+    return w_stack, b_stack
+
+
+def unstack_grads(dw_stack, db_stack, params):
+    """Slice stacked padded grads back to the params tree's exact shapes."""
+    ws, bs = params["w"], params["b"]
+    return {
+        "w": [dw_stack[i, : w.shape[0], : w.shape[1]] for i, w in enumerate(ws)],
+        "b": [db_stack[i, : b.shape[0]] for i, b in enumerate(bs)],
+    }
+
+
+def pick_tile_rays(
+    num_samples: int, pw: int, n_live_buffers: int,
+    vmem_budget: int = 6 * 1024 * 1024,
+) -> int:
+    """Largest tile_rays (multiple of 8, ≤512) whose live activations fit.
+
+    The budget is deliberately well under the ~16 MB physical VMEM: Mosaic
+    also holds grid-IO double buffers, the weight stack, and scan temps
+    (measured ~2x the bare activation estimate on v5e).
+    """
+    tile = 512
+    while tile > 8:
+        rows = tile * num_samples
+        if rows * pw * 4 * n_live_buffers <= vmem_budget and rows % 8 == 0:
+            break
+        tile //= 2
+    return max(tile, 8)
+
+
+# ---------------------------------------------------------------------------
+# segmented scans on (rows, 1) arrays (samples contiguous within a segment)
+# ---------------------------------------------------------------------------
+
+
+def _sample_index(rows: int, num_samples: int) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    return row % num_samples
+
+
+def seg_inclusive_cumprod(x: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Per-segment inclusive cumulative product along rows (Hillis-Steele:
+    ceil(log2 S) masked sublane rolls)."""
+    rows = x.shape[0]
+    s_idx = _sample_index(rows, num_samples)
+    shift = 1
+    while shift < num_samples:
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x * jnp.where(s_idx >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def seg_suffix_sum(x: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Per-segment suffix sum: out[s] = sum_{m >= s} x[m]."""
+    rows = x.shape[0]
+    s_idx = _sample_index(rows, num_samples)
+    shift = 1
+    while shift < num_samples:
+        # pltpu.roll requires non-negative shifts: roll by rows-shift is the
+        # circular equivalent of roll by -shift
+        rolled = pltpu.roll(x, rows - shift, axis=0)
+        x = x + jnp.where(s_idx < num_samples - shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def seg_shift_down(x: jnp.ndarray, num_samples: int, fill: float) -> jnp.ndarray:
+    """out[s] = x[s-1] within each segment, ``fill`` at s == 0 (the exclusive
+    shift used by standard-NeRF transmittance)."""
+    rows = x.shape[0]
+    s_idx = _sample_index(rows, num_samples)
+    rolled = pltpu.roll(x, 1, axis=0)
+    return jnp.where(s_idx >= 1, rolled, fill)

@@ -98,7 +98,7 @@ def main(argv=None) -> None:
     target_flat = jnp.asarray(target.reshape(-1, 3))
     from lomanerf_tpu.models import image_grid_coords
 
-    enc = model.encode(image_grid_coords(args.img_size))
+    coords = image_grid_coords(args.img_size)
 
     params = model.init(jax.random.PRNGKey(215))
     opt = {
@@ -119,7 +119,7 @@ def main(argv=None) -> None:
     losses = []
     prev_loss = None
 
-    n_px = enc.shape[0]
+    n_px = coords.shape[0]
     chunk = args.chunk or n_px
     for i in range(start_step, args.steps):
         for lo in range(0, n_px, chunk):
@@ -127,7 +127,7 @@ def main(argv=None) -> None:
             seed = (prev_loss if (args.parity_seed and prev_loss is not None)
                     else 1.0)
             params, opt_state, loss = step_fn(
-                params, opt_state, enc[sl], target_flat[sl], seed
+                params, opt_state, coords[sl], target_flat[sl], seed
             )
             prev_loss = loss
         losses.append(float(loss))

@@ -54,19 +54,30 @@ def make_image_fit_step(
     cfg, optimizer: optax.GradientTransformation, backend: str = "jnp",
     donate: bool = True,
 ) -> Callable:
-    """2D-fit step: step(params, opt_state, coords_encoded, target, seed)."""
+    """2D-fit step: step(params, opt_state, coords, target, seed).
 
-    def loss_fn(params, enc, target):
+    Takes RAW (N, 2) pixel coords — encoding runs on-device (fused into the
+    pallas kernel, or as jnp ops); the reference encodes on the host in numpy
+    and marshals 22 floats/pixel per call (fit_img.py:395-397)."""
+
+    def loss_fn(params, coords, target):
         if backend == "pallas":
             from lomanerf_tpu.ops import fused_mlp
 
-            pred = fused_mlp.mlp_forward(params, enc, head="sigmoid")
+            pred = fused_mlp.field_forward(
+                params, coords, cfg.num_encoding_functions,
+                out_channels=cfg.out_channels,
+            )
         else:
-            pred = mlp_apply(params, enc, head="sigmoid")
+            pred = mlp_apply(
+                params,
+                encoding.positional_encoding(coords, cfg.num_encoding_functions),
+                head="sigmoid",
+            )
         return losses.sum_mse(pred, target)
 
-    def step(params, opt_state, enc, target, seed=None):
-        loss, vjp = jax.vjp(lambda p: loss_fn(p, enc, target), params)
+    def step(params, opt_state, coords, target, seed=None):
+        loss, vjp = jax.vjp(lambda p: loss_fn(p, coords, target), params)
         s = jnp.asarray(1.0 if seed is None else seed, dtype=loss.dtype)
         (grads,) = vjp(s)
         updates, opt_state = optimizer.update(grads, opt_state, params)

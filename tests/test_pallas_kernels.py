@@ -1,0 +1,150 @@
+"""Fused Pallas kernel tests (interpreter mode on CPU).
+
+Tier-2 analog of the reference's reverse-mode tests (hw_tests/hw2): each
+fused kernel's forward must match the jnp core (itself oracle-parity-tested)
+and its hand-derived VJP must match jax.grad of the jnp pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lomanerf_tpu.core import (
+    init_mlp,
+    positional_encoding,
+    sample_along_rays,
+    sum_mse,
+)
+from lomanerf_tpu.core.pipeline import nerf_loss_rays, nerf_render_rays
+from lomanerf_tpu.models import NeRFConfig
+from lomanerf_tpu.ops import fused_mlp, fused_nerf, pallas_utils as pu
+
+
+def test_encoding_consts_match_reference_layout(rng):
+    """E-matmul + mask blend == positional_encoding block layout."""
+    x = rng.standard_normal((16, 3)).astype(np.float32)
+    E, m = pu.build_encoding_consts(3, 5, 128)
+    P = x @ E
+    enc = m[0] * P + m[1] * np.sin(P) + m[2] * np.cos(P)
+    want = np.asarray(positional_encoding(jnp.asarray(x), 5))
+    np.testing.assert_allclose(enc[:, :33], want, rtol=1e-5, atol=1e-6)
+    assert np.all(enc[:, 33:] == 0)
+
+
+def test_seg_scans(rng):
+    S, R = 6, 4
+    x = jnp.asarray(rng.random((R * S, 1)).astype(np.float32) + 0.5)
+
+    def run(fn, *a):
+        # run inside a trivial pallas kernel so pltpu.roll is legal
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def k(x_ref, o_ref):
+            o_ref[...] = fn(x_ref[...], *a)
+
+        return pl.pallas_call(
+            k,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=True,
+        )(x)
+
+    got = np.asarray(run(pu.seg_inclusive_cumprod, S)).reshape(R, S)
+    want = np.cumprod(np.asarray(x).reshape(R, S), axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    got = np.asarray(run(pu.seg_suffix_sum, S)).reshape(R, S)
+    xs = np.asarray(x).reshape(R, S)
+    want = np.cumsum(xs[:, ::-1], axis=1)[:, ::-1]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    got = np.asarray(run(pu.seg_shift_down, S, 1.0)).reshape(R, S)
+    want = np.concatenate([np.ones((R, 1), np.float32), xs[:, :-1]], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_fused_nerf_forward_matches_core(rng, mode):
+    cfg = NeRFConfig(num_samples=10, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20  # deliberately not a multiple of the tile size (tests padding)
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+
+    got = fused_nerf.render_rays(params, o, d, t, dists, cfg, tile_rays=8)
+    want = nerf_render_rays(params, o, d, t, dists,
+                            cfg.num_encoding_functions, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_fused_nerf_grads_match_jax_grad(rng, mode):
+    cfg = NeRFConfig(num_samples=8, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(1), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 16
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    got = jax.grad(
+        lambda p: fused_nerf.nerf_loss(p, o, d, t, dists, target, cfg,
+                                       tile_rays=8)
+    )(params)
+    want = jax.grad(
+        lambda p: nerf_loss_rays(p, o, d, t, dists, target,
+                                 cfg.num_encoding_functions, mode)
+    )(params)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_fused_field_forward_and_grads(rng):
+    """2D image-fit kernel vs core: sigmoid MLP over encoded coords."""
+    from lomanerf_tpu.core.pipeline import image_fit_loss, image_fit_pred
+
+    params = init_mlp(jax.random.PRNGKey(2), 22, 3, num_layers=3,
+                      filter_size=16)
+    n = 50
+    coords = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+    enc = positional_encoding(coords, 5)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    got = fused_mlp.field_forward(params, coords, num_functions=5,
+                                  rows_tile=32)
+    want = image_fit_pred(params, enc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+    got_g = jax.grad(
+        lambda p: sum_mse(
+            fused_mlp.field_forward(p, coords, num_functions=5, rows_tile=32),
+            target,
+        )
+    )(params)
+    want_g = jax.grad(lambda p: image_fit_loss(p, enc, target))(params)
+    for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_fused_nerf_full_config_shapes(rng):
+    """8x256 flagship config compiles and runs through the fused path."""
+    cfg = NeRFConfig(num_layers=4, filter_size=256, num_samples=4)
+    params = init_mlp(jax.random.PRNGKey(3), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 8
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    got = fused_nerf.render_rays(params, o, d, t, dists, cfg, tile_rays=8)
+    want = nerf_render_rays(params, o, d, t, dists,
+                            cfg.num_encoding_functions, cfg.mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=1e-5)
