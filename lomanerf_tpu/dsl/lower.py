@@ -1,0 +1,330 @@
+"""Lowering: DSL IR -> jittable JAX functions.
+
+This replaces the reference's entire code-generation backend
+(codegen_c/ispc/opencl + source-to-source autodiff): the IR is executed as
+a *pure functional* JAX program, so ``jax.jvp`` / ``jax.vjp`` provide
+forward/reverse differentiation with exactly loma's semantics:
+
+* mutable locals/arrays -> an environment pytree threaded through statements
+  (array writes are functional ``.at[...].set``),
+* ``if/else`` -> evaluate both branches, ``where``-select (single traced
+  program, same adjoint behavior as loma's per-branch reversal),
+* bounded ``while (cond, max_iter := N)`` -> ``lax.scan`` over N masked
+  iterations; the scan carry IS loma's statically-sized tape
+  (reverse_diff.py:444-461) — same max_iter discipline, same memory bound,
+* ``@simd`` bodies -> ``lax.scan`` over thread ids with shared buffers in
+  the carry (sequentialized threads: deterministic, race-free, and the
+  adjoint of ``atomic_add`` accumulation falls out of scan's VJP — the role
+  loma's atomic_add plays in reverse mode, reverse_diff.py:144-155),
+* user calls -> inlined lowered callees with copy-in/copy-out array args
+  (loma arrays are C pointers mutable by callees).
+
+Values: Int/Float -> 0-d jnp arrays; Array -> jnp arrays (structs-of-arrays
+for arrays of structs); Struct/Diff -> dicts.  ``_dfloat`` is the dict
+``{"val": x, "dval": dx}`` (autodiff.py:164-166's struct, as a pytree).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lomanerf_tpu.dsl import ir
+from lomanerf_tpu.dsl.error import TypeMismatch, UserError
+
+
+def zero_value(t: ir.Type) -> Any:
+    if isinstance(t, ir.Int):
+        return jnp.zeros((), jnp.int32)
+    if isinstance(t, ir.Float):
+        return jnp.zeros((), jnp.float32)
+    if isinstance(t, ir.Array):
+        inner = zero_value(t.elem)
+        n = t.static_size
+        return jax.tree.map(
+            lambda z: jnp.zeros((n,) + z.shape, z.dtype), inner
+        )
+    if isinstance(t, ir.Struct):
+        return {f: zero_value(ft) for f, ft in t.fields}
+    if isinstance(t, ir.Diff):
+        base = zero_value(t.of)
+        return {"val": base, "dval": base}
+    raise TypeMismatch(f"cannot zero-init type {t}")
+
+
+def _index(value, idx):
+    return jax.tree.map(lambda a: a[idx], value)
+
+
+def _set_path(container, path, new_value):
+    """Functional update along a path of ('idx', i) / ('field', name)."""
+    if not path:
+        return new_value
+    kind, key = path[0]
+    if kind == "field":
+        return {**container, key: _set_path(container[key], path[1:],
+                                            new_value)}
+    sub = _set_path(_index(container, key), path[1:], new_value)
+    return jax.tree.map(lambda a, s: a.at[key].set(s), container, sub)
+
+
+def _select_env(pred, env_true: Dict, env_false: Dict) -> Dict:
+    return jax.tree.map(
+        lambda a, b: jnp.where(pred, a, b), env_true, env_false
+    )
+
+
+_BUILTIN_FNS = {
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "sqrt": jnp.sqrt,
+    "exp": jnp.exp,
+    "log": jnp.log,
+}
+
+
+class Lowerer:
+    def __init__(self, structs: Dict[str, ir.Struct],
+                 funcs: Dict[str, ir.Func]):
+        self.structs = structs
+        self.funcs = funcs
+
+    # -- expressions --------------------------------------------------------
+
+    def eval_expr(self, e: ir.Expr, env: Dict) -> Any:
+        if isinstance(e, ir.Var):
+            return env[e.id]
+        if isinstance(e, ir.ConstInt):
+            return jnp.asarray(e.val, jnp.int32)
+        if isinstance(e, ir.ConstFloat):
+            return jnp.asarray(e.val, jnp.float32)
+        if isinstance(e, ir.ArrayAccess):
+            return _index(self.eval_expr(e.array, env),
+                          self.eval_expr(e.index, env))
+        if isinstance(e, ir.StructAccess):
+            return self.eval_expr(e.struct, env)[e.member]
+        if isinstance(e, ir.UnaryOp):
+            return -self.eval_expr(e.operand, env)
+        if isinstance(e, ir.BinaryOp):
+            return self._binop(e, env)
+        if isinstance(e, ir.Call):
+            return self._call_expr(e, env)
+        raise UserError(f"cannot evaluate {e}", getattr(e, "lineno", None))
+
+    def _binop(self, e: ir.BinaryOp, env: Dict):
+        a = self.eval_expr(e.left, env)
+        b = self.eval_expr(e.right, env)
+        op = e.op
+        both_int = (
+            hasattr(a, "dtype") and hasattr(b, "dtype")
+            and jnp.issubdtype(a.dtype, jnp.integer)
+            and jnp.issubdtype(b.dtype, jnp.integer)
+        )
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            # C semantics: int / int truncates toward zero
+            return jax.lax.div(a, b) if both_int else a / b
+        if op == "%":
+            return jax.lax.rem(a, b)
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "and":
+            return jnp.logical_and(a, b)
+        if op == "or":
+            return jnp.logical_or(a, b)
+        raise UserError(f"unknown operator {op}", e.lineno)
+
+    def _call_expr(self, e: ir.Call, env: Dict):
+        if e.id in _BUILTIN_FNS:
+            return _BUILTIN_FNS[e.id](self.eval_expr(e.args[0], env))
+        if e.id == "pow":
+            return jnp.power(self.eval_expr(e.args[0], env),
+                             self.eval_expr(e.args[1], env))
+        if e.id == "int2float":
+            return self.eval_expr(e.args[0], env).astype(jnp.float32)
+        if e.id == "float2int":
+            return self.eval_expr(e.args[0], env).astype(jnp.int32)
+        if e.id == "thread_id":
+            return env["__thread_id__"]
+        if e.id == "make__dfloat":
+            return {
+                "val": self.eval_expr(e.args[0], env).astype(jnp.float32),
+                "dval": self.eval_expr(e.args[1], env).astype(jnp.float32),
+            }
+        if e.id in self.funcs:
+            ret, env = self._call_user(e, env)
+            return ret
+        raise UserError(f"unknown function {e.id}", e.lineno)
+
+    # -- calls --------------------------------------------------------------
+
+    def _target_path(self, e: ir.Expr, env: Dict):
+        """Decompose an lvalue expr into (root var name, path)."""
+        path = []
+        while True:
+            if isinstance(e, ir.Var):
+                return e.id, list(reversed(path))
+            if isinstance(e, ir.ArrayAccess):
+                path.append(("idx", self.eval_expr(e.index, env)))
+                e = e.array
+            elif isinstance(e, ir.StructAccess):
+                path.append(("field", e.member))
+                e = e.struct
+            else:
+                raise UserError("invalid assignment target",
+                                getattr(e, "lineno", None))
+
+    def _call_user(self, e: ir.Call, env: Dict):
+        callee = self.funcs[e.id]
+        if not isinstance(callee, ir.FunctionDef):
+            raise UserError(
+                f"cannot call differentiated declaration '{e.id}' directly "
+                "from DSL code", e.lineno,
+            )
+        arg_vals = [self.eval_expr(a, env) for a in e.args]
+        ret, finals = self.run_function(callee, arg_vals,
+                                        thread_id=env.get("__thread_id__"))
+        # copy-out: arrays (C pointers) and Out args mutate the caller's view
+        for arg, expr in zip(callee.args, e.args):
+            if arg.id in finals:
+                root, path = self._target_path(expr, env)
+                env = {**env, root: _set_path(env[root], path,
+                                              finals[arg.id])}
+        return ret, env
+
+    # -- statements ---------------------------------------------------------
+
+    def exec_stmts(self, stmts: List[ir.Stmt], env: Dict) -> Dict:
+        for s in stmts:
+            env = self.exec_stmt(s, env)
+        return env
+
+    def exec_stmt(self, s: ir.Stmt, env: Dict) -> Dict:
+        if isinstance(s, ir.Declare):
+            val = (self._coerce(self.eval_expr(s.val, env), s.t)
+                   if s.val is not None else zero_value(s.t))
+            return {**env, s.target: val}
+        if isinstance(s, ir.Assign):
+            root, path = self._target_path(s.target, env)
+            val = self.eval_expr(s.val, env)
+            old = env[root]
+            # numeric coercion to the stored dtype (loma auto-casts,
+            # type_inference.py:99-155)
+            site = old
+            for kind, key in path:
+                site = site[key] if kind == "field" else _index(site, key)
+            val = self._coerce_like(val, site)
+            return {**env, root: _set_path(old, path, val)}
+        if isinstance(s, ir.Return):
+            return {**env, "__ret__": self.eval_expr(s.val, env)}
+        if isinstance(s, ir.IfElse):
+            pred = self.eval_expr(s.cond, env)
+            env_t = self.exec_stmts(s.then_stmts, env)
+            env_f = self.exec_stmts(s.else_stmts, env)
+            return _select_env(pred, env_t, env_f)
+        if isinstance(s, ir.While):
+            return self._exec_while(s, env)
+        if isinstance(s, ir.CallStmt):
+            call = s.call
+            if call.id == "atomic_add":
+                root, path = self._target_path(call.args[0], env)
+                add = self.eval_expr(call.args[1], env)
+                site = env[root]
+                for kind, key in path:
+                    site = site[key] if kind == "field" else _index(site, key)
+                return {**env, root: _set_path(env[root], path, site + add)}
+            if call.id in self.funcs:
+                _, env = self._call_user(call, env)
+                return env
+            # builtin as statement (no effect)
+            self.eval_expr(call, env)
+            return env
+        raise UserError(f"cannot execute {s}", getattr(s, "lineno", None))
+
+    def _exec_while(self, s: ir.While, env: Dict) -> Dict:
+        keys = sorted(env.keys())
+        carry0 = tuple(env[k] for k in keys)
+
+        def body(carry, _):
+            env_c = dict(zip(keys, carry))
+            pred = self.eval_expr(s.cond, env_c)
+            env_n = self.exec_stmts(s.body, dict(env_c))
+            env_m = _select_env(pred, {k: env_n[k] for k in keys},
+                                {k: env_c[k] for k in keys})
+            return tuple(env_m[k] for k in keys), None
+
+        carry, _ = jax.lax.scan(body, carry0, None, length=s.max_iter)
+        return dict(zip(keys, carry))
+
+    def _coerce(self, val, t: ir.Type):
+        if isinstance(t, ir.Float) and hasattr(val, "astype"):
+            return val.astype(jnp.float32)
+        if isinstance(t, ir.Int) and hasattr(val, "astype"):
+            return val.astype(jnp.int32)
+        return val
+
+    def _coerce_like(self, val, site):
+        if hasattr(site, "dtype") and hasattr(val, "astype"):
+            return val.astype(site.dtype)
+        return val
+
+    # -- functions ----------------------------------------------------------
+
+    def run_function(self, f: ir.FunctionDef, arg_vals: List[Any],
+                     thread_id=None) -> Tuple[Any, Dict[str, Any]]:
+        """Execute a (non-simd dispatch of a) function body.
+
+        Returns (return_value_or_None, {mutable_arg_name: final_value}).
+        """
+        env = {a.id: v for a, v in zip(f.args, arg_vals)}
+        if thread_id is not None:
+            env["__thread_id__"] = thread_id
+        env = self.exec_stmts(f.body, env)
+        mutable = {
+            a.id: env[a.id]
+            for a in f.args
+            if a.is_out or isinstance(a.t, ir.Array)
+        }
+        return env.get("__ret__"), mutable
+
+    def run_simd(self, f: ir.FunctionDef, arg_vals: List[Any],
+                 total_work: int) -> Dict[str, Any]:
+        """Dispatch a @simd kernel: scan over thread ids with the shared
+        buffers in the carry (deterministic sequential threads)."""
+        env0 = {a.id: v for a, v in zip(f.args, arg_vals)}
+        keys = sorted(env0.keys())
+        carry0 = tuple(env0[k] for k in keys)
+
+        def body(carry, tid):
+            env = dict(zip(keys, carry))
+            env["__thread_id__"] = tid
+            env = self.exec_stmts(f.body, env)
+            return tuple(env[k] for k in keys), None
+
+        carry, _ = jax.lax.scan(
+            body, carry0, jnp.arange(total_work, dtype=jnp.int32)
+        )
+        env = dict(zip(keys, carry))
+        return {
+            a.id: env[a.id]
+            for a in f.args
+            if a.is_out or isinstance(a.t, ir.Array)
+        }
