@@ -45,6 +45,10 @@ def main(argv=None) -> None:
                     help="jitter depth samples per ray")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--pipeline", default="python",
+                    choices=["python", "native", "numpy"],
+                    help="ray-batch producer: in-driver python, the C++ "
+                         "prefetcher, or its numpy fallback")
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-view", type=int, default=2)
     ap.add_argument("--log-dir", default="logs_3d")
@@ -136,21 +140,42 @@ def main(argv=None) -> None:
     jkey = jax.random.PRNGKey(args.seed)
     psnrs, losses = [], []
 
+    pipe = None
+    if args.pipeline in ("native", "numpy"):
+        from lomanerf_tpu.data.native import RayBatchPipeline
+
+        pipe = RayBatchPipeline(
+            poses, images, focal, args.rays_per_batch, cfg.num_samples,
+            cfg.near, cfg.far, stratified=args.stratified, seed=args.seed,
+            force_numpy=(args.pipeline == "numpy"),
+        )
+        if args.pipeline == "native" and not pipe.is_native:
+            print("native pipeline unavailable; using numpy fallback")
+
     n_rays = args.rays_per_batch
     for i in range(start_step, args.steps):
-        v = rng.integers(len(dataset))
-        idx = rng.integers(all_o.shape[1], size=n_rays)
-        o = jnp.asarray(all_o[v, idx])
-        d = jnp.asarray(all_d[v, idx])
-        key = None
-        if args.stratified:
-            jkey, key = jax.random.split(jkey)
-        _, t_vals, dists = sample_along_rays(
-            o, d, cfg.near, cfg.far, cfg.num_samples, key=key
-        )
-        batch = shard_batch(
-            mesh, RayBatch(o, d, t_vals, dists, jnp.asarray(all_t[v, idx]))
-        )
+        if pipe is not None:
+            o_np, d_np, t_np, dist_np, tgt_np = pipe.next_batch()
+            batch = shard_batch(
+                mesh,
+                RayBatch(*(jnp.asarray(x)
+                           for x in (o_np, d_np, t_np, dist_np, tgt_np))),
+            )
+        else:
+            v = rng.integers(len(dataset))
+            idx = rng.integers(all_o.shape[1], size=n_rays)
+            o = jnp.asarray(all_o[v, idx])
+            d = jnp.asarray(all_d[v, idx])
+            key = None
+            if args.stratified:
+                jkey, key = jax.random.split(jkey)
+            _, t_vals, dists = sample_along_rays(
+                o, d, cfg.near, cfg.far, cfg.num_samples, key=key
+            )
+            batch = shard_batch(
+                mesh,
+                RayBatch(o, d, t_vals, dists, jnp.asarray(all_t[v, idx])),
+            )
         params, opt_state, loss = step_fn(params, opt_state, batch)
         losses.append(float(loss))
 
