@@ -1,131 +1,189 @@
-"""DSL autodiff: fwd_diff via jax.jvp, rev_diff via jax.vjp.
+"""DSL autodiff: fwd_diff via jax.jvp, rev_diff via jax.vjp — composable.
 
 Replaces the reference's source-to-source transforms (forward_diff.py,
-reverse_diff.py) — the lowered IR is a pure JAX program, so dual numbers
-and adjoints come from jax's transforms with exactly the same calling
-conventions loma generates:
+reverse_diff.py).  Every compiled entry is a :class:`LoweredSpec` — an
+argument schema plus a pure JAX callable — and fwd/rev differentiation maps
+specs to specs, so compositions like the reference's Hessian-by-
+rev-over-fwd (examples/loma_code/third_order_poly_hess.py:23-45) fall out
+of jax transform composition.
 
-* ``fwd_diff(f)``: every float leaf becomes a ``_dfloat`` dual
-  ``{"val", "dval"}`` (autodiff.py:42-112); ints pass through.
-* ``rev_diff(f)``: each In arg gains an adjoint *output* (accumulated, like
-  loma's ``+=``/atomic_add adjoints), Out args' adjoints and the return
-  adjoint ``_dreturn`` are *inputs* (reverse_diff.py:492-517).
+Conventions match loma:
+* ``fwd_diff``: float-typed args/results become ``_dfloat`` duals
+  ``{"val", "dval"}`` (autodiff.py:164-166); ints pass through.
+* ``rev_diff``: In-arg adjoints are accumulated outputs; Out-arg adjoints
+  and the return adjoint ``_dreturn`` are inputs (reverse_diff.py:492-517).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from lomanerf_tpu.dsl import ir
-from lomanerf_tpu.dsl.lower import Lowerer, zero_value
+from lomanerf_tpu.dsl.lower import Lowerer
 
 
-def _is_float_type(t: ir.Type) -> bool:
+def is_float_type(t: ir.Type) -> bool:
     if isinstance(t, ir.Float):
         return True
     if isinstance(t, ir.Array):
-        return _is_float_type(t.elem)
+        return is_float_type(t.elem)
     if isinstance(t, ir.Struct):
-        return any(_is_float_type(ft) for _, ft in t.fields)
+        return any(is_float_type(ft) for _, ft in t.fields)
     if isinstance(t, ir.Diff):
         return True
     return False
 
 
-def _float_leaves_only(x):
-    """Tangent/cotangent structure: float leaves keep, int leaves -> zeros
-    (jax requires symbolic-zero-compatible tangents; int tangents illegal)."""
-    return jax.tree.map(
-        lambda a: a if jnp.issubdtype(a.dtype, jnp.floating) else None, x
-    )
+@dataclasses.dataclass
+class ArgSpec:
+    id: str
+    t: ir.Type
+    is_out: bool
+    dual: bool = False  # argument is a {val, dval} dual (fwd_diff level)
 
 
-def make_forward_diff(lowerer: Lowerer, primal: ir.FunctionDef):
-    """d_f(*dual_args) -> dual result.
+@dataclasses.dataclass
+class LoweredSpec:
+    """A compiled DSL entry: schema + pure callable.
 
-    Dual args: float-typed args (and float leaves inside structs/arrays)
-    are ``{"val": ..., "dval": ...}``; ints are plain.
+    ``fn(args: list) -> (ret_or_None, {mutable_arg_name: final_value})``
+    where mutable args are Out args and arrays (C-pointer semantics).
     """
 
-    def primal_fn(vals: List[Any]):
-        ret, finals = lowerer.run_function(primal, vals)
-        return (ret, finals)
+    name: str
+    args: List[ArgSpec]
+    ret: bool  # has a return value
+    ret_dual: bool
+    fn: Callable[[List[Any]], Tuple[Any, Dict[str, Any]]]
+    is_simd: bool = False
+    simd_fn: Optional[Callable] = None  # fn(args, total_work) -> finals
 
-    def d_f(*dual_args):
+
+def spec_of_function(lowerer: Lowerer, f: ir.FunctionDef) -> LoweredSpec:
+    args = [ArgSpec(a.id, a.t, a.is_out) for a in f.args]
+
+    def fn(vals):
+        return lowerer.run_function(f, list(vals))
+
+    simd_fn = None
+    if f.is_simd:
+        def simd_fn(vals, total_work):
+            return lowerer.run_simd(f, list(vals), total_work)
+
+    return LoweredSpec(f.id, args, f.ret_type is not None, False, fn,
+                       f.is_simd, simd_fn)
+
+
+def forward_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
+    """fwd_diff: duals for every float-typed arg; jvp under the hood."""
+    args = [
+        ArgSpec(a.id, ir.Diff(a.t) if is_float_type(a.t) else a.t, a.is_out,
+                dual=is_float_type(a.t) or a.dual)
+        for a in primal.args
+    ]
+    float_idx = [i for i, a in enumerate(args) if a.dual]
+
+    def fn(dual_vals):
         vals, tans = [], []
-        for a, x in zip(primal.args, dual_args):
-            if _is_float_type(a.t):
+        for a, x in zip(args, dual_vals):
+            if a.dual:
                 vals.append(x["val"])
                 tans.append(x["dval"])
             else:
-                vals.append(jnp.asarray(x))
-                tans.append(None)
-
-        # close over int args (no tangents allowed)
-        float_idx = [i for i, t in enumerate(tans) if t is not None]
-
+                vals.append(x)
         def g(float_vals):
             full = list(vals)
             for i, v in zip(float_idx, float_vals):
                 full[i] = v
-            return primal_fn(full)
+            return primal.fn(full)
 
         fvals = tuple(vals[i] for i in float_idx)
-        ftans = tuple(tans[i] for i in float_idx)
+        ftans = tuple(tans)
         (ret, finals), (dret, dfinals) = jax.jvp(g, (fvals,), (ftans,))
-        out_ret = None
-        if ret is not None:
-            out_ret = {"val": ret, "dval": dret}
-        dual_finals = {
-            k: {"val": finals[k], "dval": dfinals[k]} for k in finals
+        out_ret = {"val": ret, "dval": dret} if primal.ret else None
+        duals = {k: {"val": finals[k], "dval": dfinals[k]} for k in finals}
+        return out_ret, duals
+
+    return LoweredSpec(name, args, primal.ret, True, fn)
+
+
+def reverse_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
+    """rev_diff over any spec (plain or fwd-diffed): vjp under the hood.
+
+    The returned spec's ``fn(vals, _dreturn, out_adjoints)`` (extended
+    signature, used by the compiler entry) yields the adjoints of the
+    differentiable In args.
+    """
+    diff_idx = [
+        i for i, a in enumerate(primal.args)
+        if not a.is_out and (a.dual or is_float_type(a.t))
+    ]
+    out_names = [a.id for a in primal.args if a.is_out]
+
+    def grad_fn(vals, _dreturn, out_adjoints):
+        def g(diff_args):
+            full = list(vals)
+            for i, v in zip(diff_idx, diff_args):
+                full[i] = v
+            ret, finals = primal.fn(full)
+            outs = {k: finals[k] for k in out_names if k in finals}
+            return ret, outs
+
+        diff_args = tuple(vals[i] for i in diff_idx)
+        (ret, outs), vjp_fn = jax.vjp(g, diff_args)
+        if primal.ret:
+            if isinstance(_dreturn, dict):
+                # structured seed (e.g. dual {val, dval} for rev-over-fwd:
+                # seed dval=1 to extract second derivatives)
+                ret_ct = jax.tree.map(
+                    lambda r, c: jnp.broadcast_to(
+                        jnp.asarray(c, r.dtype), r.shape
+                    ),
+                    ret, _dreturn,
+                )
+            else:
+                ret_ct = jax.tree.map(
+                    lambda r: jnp.broadcast_to(
+                        jnp.asarray(_dreturn, r.dtype), r.shape
+                    ),
+                    ret,
+                )
+        else:
+            ret_ct = None
+        outs_ct = {
+            k: (out_adjoints or {}).get(
+                k, jax.tree.map(jnp.zeros_like, v)
+            )
+            for k, v in outs.items()
         }
-        return out_ret, dual_finals
+        (d_diff,) = vjp_fn((ret_ct, outs_ct))
+        return {primal.args[i].id: d for i, d in zip(diff_idx, d_diff)}
+
+    spec = LoweredSpec(name, list(primal.args), primal.ret, primal.ret_dual,
+                       primal.fn)
+    spec.grad_fn = grad_fn
+    spec.diff_arg_ids = [primal.args[i].id for i in diff_idx]
+    return spec
+
+
+# backwards-compatible helpers used elsewhere
+def make_forward_diff(lowerer: Lowerer, primal: ir.FunctionDef):
+    spec = forward_diff_spec(spec_of_function(lowerer, primal), "d")
+
+    def d_f(*dual_args):
+        return spec.fn(list(dual_args))
 
     return d_f
 
 
 def make_reverse_diff(lowerer: Lowerer, primal: ir.FunctionDef):
-    """grad_f(*args, _dreturn=..., out_adjoints=...) -> in-arg adjoints.
+    spec = reverse_diff_spec(spec_of_function(lowerer, primal), "g")
 
-    Args are the primal values.  ``_dreturn`` seeds the return adjoint (the
-    reference feeds the running loss here, train_nerf.py:477).
-    ``out_adjoints`` maps Out-arg names to their incoming adjoints.
-    Returns {in_arg_name: adjoint} for differentiable In args.
-    """
-
-    diff_idx = [
-        i for i, a in enumerate(primal.args)
-        if not a.is_out and _is_float_type(a.t)
-    ]
-    out_names = [a.id for a in primal.args if a.is_out]
-
-    def grad_f(*args, _dreturn=1.0, out_adjoints: Dict[str, Any] = None):
-        args = [jnp.asarray(x) if not isinstance(x, dict) else x for x in args]
-
-        def g(diff_args):
-            full = list(args)
-            for i, v in zip(diff_idx, diff_args):
-                full[i] = v
-            ret, finals = lowerer.run_function(primal, full)
-            outs = {k: finals[k] for k in out_names if k in finals}
-            return ret, outs
-
-        diff_args = tuple(args[i] for i in diff_idx)
-        (ret, outs), vjp_fn = jax.vjp(g, diff_args)
-        ret_ct = (
-            jnp.asarray(_dreturn, jnp.float32) if ret is not None else None
-        )
-        outs_ct = {
-            k: (out_adjoints or {}).get(k, jnp.zeros_like(v))
-            for k, v in outs.items()
-        }
-        (d_diff_args,) = vjp_fn((ret_ct, outs_ct))
-        return {
-            primal.args[i].id: d
-            for i, d in zip(diff_idx, d_diff_args)
-        }
+    def grad_f(*args, _dreturn=1.0, out_adjoints=None):
+        return spec.grad_fn(list(args), _dreturn, out_adjoints)
 
     return grad_f

@@ -9,20 +9,21 @@ codegen + gcc/ispc/OpenCL + ctypes binding, the pipeline is
 callables with reference-compatible conventions:
 
 * plain functions: numpy arrays in, return value out; array arguments are
-  written back in place (loma arrays are C pointers mutable by the callee —
-  the reference's ctypes marshalling deep-copies so only read-back buffers
-  round-trip, mlp_utils.py:33-118; here mutation is actually visible, a
-  strict superset).
-* ``d_f = fwd_diff(f)``: takes ``{"val": ..., "dval": ...}`` duals for
-  float args (``lib.make__dfloat`` builds them), returns a dual.
-* ``grad_f = rev_diff(f)``: takes the interleaved (value, adjoint-buffer)
+  written back in place (loma arrays are C pointers mutable by the callee;
+  note the reference's ctypes marshalling deep-copies per call,
+  mlp_utils.py:33-118, so pass fresh buffers when re-calling accumulating
+  kernels).
+* ``d_f = fwd_diff(f)``: ``{"val": ..., "dval": ...}`` duals for float
+  args (``lib.make__dfloat`` builds them), dual result out.
+* ``grad_f = rev_diff(f)``: the interleaved (value, adjoint-buffer)
   argument list loma generates (reverse_diff.py:492-517) with the trailing
   ``_dreturn`` seed; In-arg adjoints are ACCUMULATED into the passed numpy
   buffers, Out-arg adjoint buffers are read as incoming cotangents.
+* compositions (``rev_diff`` of a ``fwd_diff`` function, etc.) resolve
+  transitively — the reference's Hessian-by-rev-over-fwd pattern.
 
 ``target='jax'`` is the native backend; 'c'/'ispc'/'opencl' raise — this
-framework runs the DSL on XLA, on every jax backend (CPU/TPU), with the
-same bounded-loop/tape discipline.
+framework runs the DSL on XLA, on every jax backend (CPU/TPU).
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ import jax.numpy as jnp
 from lomanerf_tpu.dsl import autodiff as dsl_ad
 from lomanerf_tpu.dsl import check as dsl_check
 from lomanerf_tpu.dsl import ir, parser
+from lomanerf_tpu.dsl.error import UserError
 from lomanerf_tpu.dsl.lower import Lowerer
 
 
@@ -83,32 +85,29 @@ def _writeback(buf, val):
         np.copyto(buf, np.asarray(val).astype(buf.dtype, copy=False))
 
 
-def _make_plain_entry(lowerer: Lowerer, f: ir.FunctionDef):
-    if f.is_simd:
+def _make_plain_entry(spec: dsl_ad.LoweredSpec):
+    if spec.is_simd:
         @functools.lru_cache(maxsize=8)
         def jitted(total_work):
-            def run(args):
-                return lowerer.run_simd(f, list(args), total_work)
-
-            return jax.jit(run)
+            return jax.jit(lambda args: spec.simd_fn(args, total_work))
 
         def entry(*call_args):
             *args, total_work = call_args
             jargs = tuple(_to_jax(a) for a in args)
             finals = jitted(int(total_work))(jargs)
-            for a, buf in zip(f.args, args):
+            for a, buf in zip(spec.args, args):
                 if a.id in finals:
                     _writeback(buf, finals[a.id])
             return None
 
         return entry
 
-    run = jax.jit(lambda args: lowerer.run_function(f, list(args)))
+    run = jax.jit(lambda args: spec.fn(list(args)))
 
     def entry(*args):
         jargs = tuple(_to_jax(a) for a in args)
         ret, finals = run(jargs)
-        for a, buf in zip(f.args, args):
+        for a, buf in zip(spec.args, args):
             if a.id in finals:
                 _writeback(buf, finals[a.id])
         if ret is not None:
@@ -119,35 +118,31 @@ def _make_plain_entry(lowerer: Lowerer, f: ir.FunctionDef):
     return entry
 
 
-def _make_fwd_entry(lowerer: Lowerer, primal: ir.FunctionDef):
-    d_f = dsl_ad.make_forward_diff(lowerer, primal)
-    jitted = jax.jit(lambda duals: d_f(*duals))
+def _make_fwd_entry(spec: dsl_ad.LoweredSpec):
+    jitted = jax.jit(lambda duals: spec.fn(list(duals)))
 
     def entry(*dual_args):
         jargs = tuple(_to_jax(a) for a in dual_args)
         ret, dual_finals = jitted(jargs)
-        for a, buf in zip(primal.args, dual_args):
+        for a, buf in zip(spec.args, dual_args):
             if a.id in dual_finals and isinstance(buf, dict):
                 _writeback(buf.get("val"), dual_finals[a.id]["val"])
                 _writeback(buf.get("dval"), dual_finals[a.id]["dval"])
         if ret is not None:
-            return {
-                "val": float(ret["val"]), "dval": float(ret["dval"])
-            }
+            return jax.tree.map(lambda x: float(x) if np.asarray(x).ndim == 0
+                                else np.asarray(x), ret)
         return None
 
     return entry
 
 
-def _make_rev_entry(lowerer: Lowerer, primal: ir.FunctionDef):
-    grad_f = dsl_ad.make_reverse_diff(lowerer, primal)
-    out_names = {a.id for a in primal.args if a.is_out}
-    has_ret = primal.ret_type is not None
+def _make_rev_entry(spec: dsl_ad.LoweredSpec):
+    out_names = {a.id for a in spec.args if a.is_out}
+    has_ret = spec.ret
 
-    def run(args, dret, out_adj):
-        return grad_f(*args, _dreturn=dret, out_adjoints=out_adj)
-
-    jitted = jax.jit(run)
+    jitted = jax.jit(
+        lambda args, dret, out_adj: spec.grad_fn(list(args), dret, out_adj)
+    )
 
     def entry(*call_args):
         """Interleaved loma convention: for each primal arg, (value,
@@ -155,29 +150,60 @@ def _make_rev_entry(lowerer: Lowerer, primal: ir.FunctionDef):
         if has_ret:
             *inter, dreturn = call_args
         else:
-            inter, dreturn = call_args, 1.0
-        if len(inter) != 2 * len(primal.args):
+            inter, dreturn = list(call_args), 1.0
+        if len(inter) != 2 * len(spec.args):
             raise TypeError(
-                f"grad entry expects {2 * len(primal.args)} interleaved args"
+                f"grad entry expects {2 * len(spec.args)} interleaved args"
                 f"{' + _dreturn' if has_ret else ''}, got {len(call_args)}"
             )
         values = list(inter[0::2])
         adj_bufs = list(inter[1::2])
         out_adj = {
             a.id: _to_jax(adj)
-            for a, adj in zip(primal.args, adj_bufs)
+            for a, adj in zip(spec.args, adj_bufs)
             if a.id in out_names
         }
         jargs = tuple(_to_jax(v) for v in values)
-        adjoints = jitted(jargs, _to_jax(float(dreturn)), out_adj)
-        for a, buf in zip(primal.args, adj_bufs):
-            if a.id in adjoints and isinstance(buf, np.ndarray):
-                # loma ACCUMULATES adjoints into the caller's buffers
-                buf += np.asarray(adjoints[a.id]).astype(buf.dtype,
-                                                         copy=False)
+        dret = _to_jax(dreturn) if isinstance(dreturn, dict) else \
+            _to_jax(float(dreturn))
+        adjoints = jitted(jargs, dret, out_adj)
+        for a, buf in zip(spec.args, adj_bufs):
+            if a.id not in adjoints:
+                continue
+            adj = adjoints[a.id]
+            if isinstance(buf, np.ndarray):
+                buf += np.asarray(adj).astype(buf.dtype, copy=False)
+            elif isinstance(buf, dict) and isinstance(adj, dict):
+                for k in ("val", "dval"):
+                    if isinstance(buf.get(k), np.ndarray):
+                        buf[k] += np.asarray(adj[k]).astype(
+                            buf[k].dtype, copy=False
+                        )
         return adjoints
 
     return entry
+
+
+def _resolve_spec(name: str, funcs: Dict[str, ir.Func], lowerer: Lowerer,
+                  cache: Dict[str, dsl_ad.LoweredSpec]) -> dsl_ad.LoweredSpec:
+    if name in cache:
+        return cache[name]
+    f = funcs[name]
+    if isinstance(f, ir.FunctionDef):
+        spec = dsl_ad.spec_of_function(lowerer, f)
+    elif isinstance(f, ir.ForwardDiff):
+        primal = _resolve_spec(f.primal_func, funcs, lowerer, cache)
+        if hasattr(primal, "grad_fn"):
+            raise UserError("fwd_diff of a rev_diff function is unsupported",
+                            f.lineno)
+        spec = dsl_ad.forward_diff_spec(primal, f.id)
+    elif isinstance(f, ir.ReverseDiff):
+        primal = _resolve_spec(f.primal_func, funcs, lowerer, cache)
+        spec = dsl_ad.reverse_diff_spec(primal, f.id)
+    else:  # pragma: no cover
+        raise UserError(f"unknown declaration {name}")
+    cache[name] = spec
+    return spec
 
 
 def compile(
@@ -193,13 +219,13 @@ def compile(
     dsl_check.check(structs, funcs)
     lowerer = Lowerer(structs, funcs)
     lib = JaxLib()
+    cache: Dict[str, dsl_ad.LoweredSpec] = {}
     for name, f in funcs.items():
+        spec = _resolve_spec(name, funcs, lowerer, cache)
         if isinstance(f, ir.FunctionDef):
-            lib.add(name, _make_plain_entry(lowerer, f))
+            lib.add(name, _make_plain_entry(spec))
         elif isinstance(f, ir.ForwardDiff):
-            primal = funcs[f.primal_func]
-            lib.add(name, _make_fwd_entry(lowerer, primal))
-        elif isinstance(f, ir.ReverseDiff):
-            primal = funcs[f.primal_func]
-            lib.add(name, _make_rev_entry(lowerer, primal))
+            lib.add(name, _make_fwd_entry(spec))
+        else:
+            lib.add(name, _make_rev_entry(spec))
     return structs, lib

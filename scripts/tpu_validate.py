@@ -6,9 +6,13 @@ Prints correctness deltas then per-step timings for jnp vs pallas backends.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -319,3 +319,24 @@ def test_reference_mult_a_b_through_dsl(rng):
     c = np.zeros((3, 1), np.float32)
     lib.mult_a_b(a, 3, 2, b, 2, 1, c)
     np.testing.assert_allclose(c, [[500], [1100], [1700]])
+
+
+def test_hessian_rev_over_fwd():
+    """Second derivative via rev_diff(fwd_diff(f)) — the reference's
+    Newton-method Hessian pattern (examples/loma_code/third_order_poly_hess)."""
+    code = """
+def f(x : In[float]) -> float:
+    return x * x * x - 2.0 * x
+
+d_f = fwd_diff(f)
+h_f = rev_diff(d_f)
+"""
+    _, lib = dsl.compile(code)
+    x = 1.7
+    # seed the DUAL return: dval cotangent 1 extracts d/dx of f'(x)
+    dx = {"val": np.zeros((), np.float32), "dval": np.zeros((), np.float32)}
+    adj = lib.h_f(
+        dsl.make__dfloat(x, 1.0), dx, {"val": 0.0, "dval": 1.0}
+    )
+    d2 = float(np.asarray(adj["x"]["val"]))
+    assert np.isclose(d2, 6 * x, rtol=1e-4)  # f'' = 6x
