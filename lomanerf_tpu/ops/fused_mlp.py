@@ -47,9 +47,9 @@ def _dot_tt(a, b, precision):
 
 
 def _encode(coords_ref, E_ref, m_ref, precision):
+    # masks rows: [id-mask, sin-mask, phase]; cos = sin(x + pi/2)
     P = _dot(coords_ref[...], E_ref[...], precision)
-    return m_ref[0:1, :] * P + m_ref[1:2, :] * jnp.sin(P) + \
-        m_ref[2:3, :] * jnp.cos(P)
+    return m_ref[0:1, :] * P + m_ref[1:2, :] * jnp.sin(P + m_ref[2:3, :])
 
 
 def _forward_acts(coords_ref, E_ref, m_ref, w_ref, b_ref, L, precision):

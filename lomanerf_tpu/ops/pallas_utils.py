@@ -34,8 +34,12 @@ def build_encoding_consts(
     in_dim: int, num_functions: int, pw: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(E, masks): E is (in_dim, pw) mapping coords to scaled copies; masks is
-    (3, pw) fp32 rows [identity, sin, cos].  Lanes beyond the encoded dim are
-    zero in E and all masks."""
+    (3, pw) fp32 rows [identity-mask, sin-mask, phase].
+
+    The encoding evaluates as ``m_id*P + m_sin*sin(P + phase)`` with
+    ``P = x @ E`` — cos lanes get a pi/2 phase instead of a second
+    transcendental pass (cos x = sin(x + pi/2)).  Lanes beyond the encoded
+    dim are zero in E and both masks."""
     n_blocks = 1 + 2 * num_functions
     enc_dim = in_dim * n_blocks
     assert enc_dim <= pw, (enc_dim, pw)
@@ -44,13 +48,14 @@ def build_encoding_consts(
     for j in range(enc_dim):
         block, k = divmod(j, in_dim)
         if block == 0:
-            scale, sel = 1.0, 0
+            scale, sel, phase = 1.0, 0, 0.0
         elif block % 2 == 1:
-            scale, sel = 2.0 ** ((block - 1) // 2), 1
+            scale, sel, phase = 2.0 ** ((block - 1) // 2), 1, 0.0
         else:
-            scale, sel = 2.0 ** (block // 2 - 1), 2
+            scale, sel, phase = 2.0 ** (block // 2 - 1), 1, np.pi / 2
         E[k, j] = scale
         masks[sel, j] = 1.0
+        masks[2, j] = phase
     return E, masks
 
 

@@ -26,7 +26,8 @@ def test_encoding_consts_match_reference_layout(rng):
     x = rng.standard_normal((16, 3)).astype(np.float32)
     E, m = pu.build_encoding_consts(3, 5, 128)
     P = x @ E
-    enc = m[0] * P + m[1] * np.sin(P) + m[2] * np.cos(P)
+    # masks rows: [id-mask, sin-mask, phase]; cos lanes carry a pi/2 phase
+    enc = m[0] * P + m[1] * np.sin(P + m[2])
     want = np.asarray(positional_encoding(jnp.asarray(x), 5))
     np.testing.assert_allclose(enc[:, :33], want, rtol=1e-5, atol=1e-6)
     assert np.all(enc[:, 33:] == 0)
