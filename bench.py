@@ -53,8 +53,8 @@ def measure_baseline_live(budget_s: float = 3.0) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rays", type=int, default=65536, help="rays per step")
-    ap.add_argument("--steps", type=int, default=20, help="timed steps")
+    ap.add_argument("--rays", type=int, default=262144, help="rays per step")
+    ap.add_argument("--steps", type=int, default=10, help="timed steps")
     ap.add_argument(
         "--backend", default="auto", choices=["auto", "jnp", "pallas"],
         help="compute path for the train step",
@@ -76,12 +76,11 @@ def main() -> None:
 
     backend = args.backend
     if backend == "auto":
-        try:
-            from lomanerf_tpu.ops import fused_nerf  # noqa: F401
-
-            backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
-        except Exception:
-            backend = "jnp"
+        # measured on v5e: the XLA-fused jnp step currently beats the
+        # hand-fused pallas step on the tiny parity MLP (38 vs 63 ms at 64k
+        # rays) — the workload is VPU/elementwise-bound, not MXU-bound.
+        # Re-point to pallas when it wins.
+        backend = "jnp"
 
     cfg = NeRFConfig.small()  # the reference parity workload
     params = init_mlp(
@@ -100,27 +99,32 @@ def main() -> None:
     )
     target = jnp.asarray(rng.random((n, 3)), dtype=jnp.float32)
 
-    step = make_single_chip_train_step(cfg, opt, backend=backend)
+    # donate=False: the device relay in this environment memoizes execution
+    # on (executable, input buffer ids); donated carries cycle between two
+    # buffers and later steps silently return cached results, faking
+    # 100-1000x speedups.  Without donation every step's params are fresh
+    # buffers, so each step really executes.
+    step = make_single_chip_train_step(cfg, opt, backend=backend,
+                                       donate=False)
     # warmup / compile
     for _ in range(3):
         params, opt_state, loss = step(params, opt_state, origins, directions,
                                        t_vals, dists, target)
     jax.block_until_ready((params, opt_state, loss))
 
-    # Timed in chunks with a hard host sync between chunks; report the best
-    # chunk (robust to tunnel/dispatch stragglers while still crediting
-    # legitimate on-device pipelining within a chunk).
-    chunk = 5
-    n_chunks = max(1, args.steps // chunk)
+    # Per-step host sync via float(loss): block_until_ready does not reliably
+    # fence through this environment's device relay, but fetching each step's
+    # (distinct) loss value cannot be faked.  The ~20 ms RPC round-trip is
+    # amortized by the large default batch.
     times = []
-    for _ in range(n_chunks):
+    for _ in range(args.steps):
         t0 = time.perf_counter()
-        for _ in range(chunk):
-            params, opt_state, loss = step(params, opt_state, origins,
-                                           directions, t_vals, dists, target)
-        jax.block_until_ready((params, opt_state, loss))
+        params, opt_state, loss = step(params, opt_state, origins,
+                                       directions, t_vals, dists, target)
+        lv = float(loss)
         times.append(time.perf_counter() - t0)
-    rays_per_s = args.rays * chunk / min(times)
+    assert np.isfinite(lv), "non-finite loss in benchmark"
+    rays_per_s = args.rays / sorted(times)[len(times) // 2]
 
     baseline = measure_baseline_live() if args.live_baseline else LOMA_CPU_RAYS_PER_S
     print(

@@ -136,8 +136,11 @@ def main(argv=None) -> None:
         print(f"resumed from step {start_step}")
 
     logger = MetricsLogger(args.log_dir)
-    rng = np.random.default_rng(args.seed)
-    jkey = jax.random.PRNGKey(args.seed)
+    # per-host RNG partition: each host draws a DISJOINT ray stream (the
+    # multi-host analog of the reference's single-process sampling)
+    host_seed = args.seed + 7919 * jax.process_index()
+    rng = np.random.default_rng(host_seed)
+    jkey = jax.random.PRNGKey(host_seed)
     psnrs, losses = [], []
 
     pipe = None
@@ -178,6 +181,11 @@ def main(argv=None) -> None:
             )
         params, opt_state, loss = step_fn(params, opt_state, batch)
         losses.append(float(loss))
+        if not np.isfinite(losses[-1]):
+            # the reference drops into pdb on NaN grads (train_nerf.py:486-
+            # 489); here: report and stop so the checkpoint stays usable
+            print(f"non-finite loss at step {i}; stopping")
+            break
 
         if i % args.eval_every == 0:
             view = args.eval_view % len(dataset)
