@@ -83,26 +83,39 @@ def _encode(pts_ref, E_ref, m_ref, precision):
     return m_ref[0:1, :] * P + m_ref[1:2, :] * jnp.sin(P + m_ref[2:3, :])
 
 
-def _mlp_forward(enc, w_ref, b_ref, L, precision):
-    """Returns list of post-activation tensors [h_0=enc, h_1, ..., h_L]."""
-    acts = [enc]
-    h = enc
+def _mlp_forward(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
+    """Returns list of post-activation tensors [h_0=enc, h_1, ..., h_L].
+
+    ``cdt`` is the matmul compute dtype: bfloat16 stores activations (and
+    the weight stack, cast by the wrapper) at half the VMEM and full MXU
+    rate; accumulation and the nonlinearities stay fp32
+    (preferred_element_type=f32).
+    """
+    acts = [enc.astype(cdt)]
+    h = acts[0]
     for l in range(L):
-        z = _dot(h, w_ref[l], precision) + b_ref[l : l + 1, :]
+        z = _dot(h, w_ref[l].astype(cdt), precision) + b_ref[l : l + 1, :]
         if l < L - 1:
-            h = jnp.maximum(z, 0.0)
+            h = jnp.maximum(z, 0.0).astype(cdt)
         else:
             # rgba head: sigmoid on lanes != 3, ReLU on density lane 3
             lane = _lane_iota(z.shape)
-            h = jnp.where(lane == 3, jnp.maximum(z, 0.0), jax.nn.sigmoid(z))
+            h = jnp.where(
+                lane == 3, jnp.maximum(z, 0.0), jax.nn.sigmoid(z)
+            ).astype(cdt)
         acts.append(h)
     return acts
 
 
 def _composite_fwd(rgba, dists_flat, S, mode):
-    """Per-sample weights w (rows,1) from density lane 3 and dists."""
+    """Per-sample weights w (rows,1) from density lane 3 and dists.
+
+    Always fp32 (rgba may arrive as bf16 from the compute-dtype path)."""
     lane = _lane_iota(rgba.shape)
-    sigma = jnp.sum(jnp.where(lane == 3, rgba, 0.0), axis=1, keepdims=True)
+    sigma = jnp.sum(
+        jnp.where(lane == 3, rgba.astype(jnp.float32), 0.0),
+        axis=1, keepdims=True,
+    )
     # c = e + EPS, not 1 - alpha + EPS: XLA folds the latter's epsilon away
     # (see core/composite.py) and c == 0 NaNs the backward division
     e = jnp.exp(-sigma * dists_flat)
@@ -128,11 +141,11 @@ def _ray_selector(rows, R, S):
 
 def _nerf_forward_kernel(
     pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
-    *, L, R, S, mode, precision,
+    *, L, R, S, mode, precision, cdt,
 ):
     enc = _encode(pts_ref, E_ref, m_ref, precision)
-    acts = _mlp_forward(enc, w_ref, b_ref, L, precision)
-    rgba = acts[-1]
+    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
     _, _, _, _, _, w = _composite_fwd(rgba, dists_ref[...], S, mode)
     pw = rgba.shape[1]
     weighted = (rgba * w).reshape(R, S, pw)
@@ -141,13 +154,13 @@ def _nerf_forward_kernel(
 
 def _nerf_backward_kernel(
     pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
-    dw_ref, db_ref, *, L, R, S, mode, precision,
+    dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
 ):
     rows = R * S
     # --- recompute forward (remat) ---
     enc = _encode(pts_ref, E_ref, m_ref, precision)
-    acts = _mlp_forward(enc, w_ref, b_ref, L, precision)
-    rgba = acts[-1]
+    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
     dists = dists_ref[...]
     sigma, alpha, c, P, T, w = _composite_fwd(rgba, dists, S, mode)
     pw = rgba.shape[1]
@@ -193,25 +206,30 @@ def _nerf_backward_kernel(
 
     for l in range(L - 1, -1, -1):
         h_prev = acts[l]
-        dw_ref[l] += _dot_tt(h_prev, d_z, precision)
+        d_z_c = d_z.astype(cdt)
+        dw_ref[l] += _dot_tt(h_prev, d_z_c, precision)
         db_ref[l : l + 1, :] += jnp.sum(d_z, axis=0, keepdims=True)
         if l > 0:
-            d_h = _dot_t(d_z, w_ref[l], precision)
+            d_h = _dot_t(d_z_c, w_ref[l].astype(cdt), precision)
             d_z = d_h * (h_prev > 0).astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec):
+def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
+                     compute_dtype="float32"):
     precision = (
         jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
     )
+    cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
 
     fwd_kernel = functools.partial(
-        _nerf_forward_kernel, L=L, R=R, S=S, mode=mode, precision=precision
+        _nerf_forward_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
+        cdt=cdt,
     )
     bwd_kernel = functools.partial(
-        _nerf_backward_kernel, L=L, R=R, S=S, mode=mode, precision=precision
+        _nerf_backward_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
+        cdt=cdt,
     )
     rows = R * S
 
@@ -301,15 +319,23 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec):
 def render_rays(
     params, origins, directions, t_vals, dists, config,
     tile_rays: int = 0, highest_precision: bool = True,
+    compute_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Fused render: (N,3) colors from rays.  Differentiable w.r.t. params
-    (input cotangents are zero — training optimizes params only)."""
+    (input cotangents are zero — training optimizes params only).
+
+    ``compute_dtype="bfloat16"`` runs matmuls/activations in bf16 with fp32
+    accumulation and compositing — the production mode for MXU-bound wide
+    configs; fp32 (optionally HIGHEST precision) is the parity mode.
+    """
     L = len(params["w"])
     S = config.num_samples
     widths = [config.in_channels] + [w.shape[1] for w in params["w"]]
     pw = pu.round_up(max(widths + [128]), 128)
     if not tile_rays:
-        tile_rays = pu.pick_tile_rays(S, pw, n_live_buffers=L + 4)
+        itemsize = 2 if compute_dtype == "bfloat16" else 4
+        tile_rays = pu.pick_tile_rays(S, pw, n_live_buffers=L + 4,
+                                      itemsize=itemsize)
     n = origins.shape[0]
     n_pad = pu.round_up(max(n, tile_rays), tile_rays)
 
@@ -329,7 +355,7 @@ def render_rays(
     w_stack, b_stack = pu.stack_padded_params(params, pw)
     render = _make_render_fns(
         L, tile_rays, S, pw, 3, config.num_encoding_functions, config.mode,
-        highest_precision,
+        highest_precision, compute_dtype,
     )
     out = render(w_stack, b_stack, pts_flat, dists_flat)
     return out[:n, :3]

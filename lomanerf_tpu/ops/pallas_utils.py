@@ -87,7 +87,7 @@ def unstack_grads(dw_stack, db_stack, params):
 
 def pick_tile_rays(
     num_samples: int, pw: int, n_live_buffers: int,
-    vmem_budget: int = 6 * 1024 * 1024,
+    vmem_budget: int = 6 * 1024 * 1024, itemsize: int = 4,
 ) -> int:
     """Largest tile_rays (multiple of 8, ≤512) whose live activations fit.
 
@@ -98,7 +98,8 @@ def pick_tile_rays(
     tile = 512
     while tile > 8:
         rows = tile * num_samples
-        if rows * pw * 4 * n_live_buffers <= vmem_budget and rows % 8 == 0:
+        if rows * pw * itemsize * n_live_buffers <= vmem_budget and \
+                rows % 8 == 0:
             break
         tile //= 2
     return max(tile, 8)

@@ -149,3 +149,30 @@ def test_fused_nerf_full_config_shapes(rng):
                             cfg.num_encoding_functions, cfg.mode)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=1e-5)
+
+
+def test_fused_nerf_bf16_compute_close(rng):
+    """bf16 compute mode stays within bf16 tolerance of the fp32 core."""
+    cfg = NeRFConfig(num_samples=8)
+    params = init_mlp(jax.random.PRNGKey(5), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 16
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    got = fused_nerf.render_rays(params, o, d, t, dists, cfg, tile_rays=8,
+                                 compute_dtype="bfloat16")
+    want = nerf_render_rays(params, o, d, t, dists,
+                            cfg.num_encoding_functions, cfg.mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0.05,
+                               atol=0.02)
+    g = jax.grad(lambda p: fused_nerf.nerf_loss(
+        p, o, d, t, dists, target, cfg, tile_rays=8,
+        compute_dtype="bfloat16"))(params)
+    gw = jax.grad(lambda p: nerf_loss_rays(
+        p, o, d, t, dists, target, cfg.num_encoding_functions, cfg.mode))(
+        params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gw)):
+        denom = np.abs(np.asarray(b)).max() + 1e-3
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / denom < 0.1
