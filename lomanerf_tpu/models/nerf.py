@@ -34,7 +34,8 @@ class NeRFConfig:
     far: float = 6.0
     mode: str = "loma"  # transmittance mode: "loma" (reference parity) | "standard"
     init: str = "he"
-    dtype: Any = jnp.float32
+    dtype: Any = jnp.float32  # parameter dtype
+    compute_dtype: str = "float32"  # kernel matmul dtype ("bfloat16" = perf)
 
     @property
     def in_channels(self) -> int:
@@ -52,7 +53,8 @@ class NeRFConfig:
     @staticmethod
     def full() -> "NeRFConfig":
         return NeRFConfig(
-            num_layers=8, filter_size=256, num_samples=128, mode="standard"
+            num_layers=8, filter_size=256, num_samples=128, mode="standard",
+            compute_dtype="bfloat16",
         )
 
 

@@ -319,7 +319,7 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 def render_rays(
     params, origins, directions, t_vals, dists, config,
     tile_rays: int = 0, highest_precision: bool = True,
-    compute_dtype: str = "float32",
+    compute_dtype: str = "",
 ) -> jnp.ndarray:
     """Fused render: (N,3) colors from rays.  Differentiable w.r.t. params
     (input cotangents are zero — training optimizes params only).
@@ -330,6 +330,8 @@ def render_rays(
     """
     L = len(params["w"])
     S = config.num_samples
+    if not compute_dtype:
+        compute_dtype = getattr(config, "compute_dtype", "float32")
     widths = [config.in_channels] + [w.shape[1] for w in params["w"]]
     pw = pu.round_up(max(widths + [128]), 128)
     if not tile_rays:
