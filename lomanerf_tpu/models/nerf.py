@@ -36,6 +36,18 @@ class NeRFConfig:
     init: str = "he"
     dtype: Any = jnp.float32  # parameter dtype
     compute_dtype: str = "float32"  # kernel matmul dtype ("bfloat16" = perf)
+    precision: str = "highest"  # jnp-path matmul precision ("default" = perf;
+    # HIGHEST-precision wide graphs also compile pathologically slowly)
+
+    @property
+    def jnp_precision(self):
+        import jax
+
+        return {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[self.precision]
 
     @property
     def in_channels(self) -> int:
@@ -54,7 +66,7 @@ class NeRFConfig:
     def full() -> "NeRFConfig":
         return NeRFConfig(
             num_layers=8, filter_size=256, num_samples=128, mode="standard",
-            compute_dtype="bfloat16",
+            compute_dtype="bfloat16", precision="default",
         )
 
 

@@ -248,6 +248,7 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
     def forward(w_stack, b_stack, pts_flat, dists_flat):
         n_rows = pts_flat.shape[0]
         n_tiles = n_rows // rows
+        w_stack = w_stack.astype(cdt)  # bf16 weights halve their VMEM block
         return pl.pallas_call(
             fwd_kernel,
             grid=(n_tiles,),
@@ -271,6 +272,7 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
     def backward(w_stack, b_stack, pts_flat, dists_flat, d_colors):
         n_rows = pts_flat.shape[0]
         n_tiles = n_rows // rows
+        w_stack = w_stack.astype(cdt)
         in_specs = common_in_specs() + [
             pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]

@@ -24,9 +24,9 @@ def nerf_loss_fn(params, origins, directions, t_vals, dists, target, cfg,
         pts = origins[:, None, :] + directions[:, None, :] * t_vals[..., None]
         enc = encoding.positional_encoding(pts, cfg.num_encoding_functions)
         n, s, f = enc.shape
-        rgba = mlp_apply(params, enc.reshape(n * s, f), head="rgba").reshape(
-            n, s, -1
-        )
+        prec = getattr(cfg, "jnp_precision", jax.lax.Precision.HIGHEST)
+        rgba = mlp_apply(params, enc.reshape(n * s, f), head="rgba",
+                         precision=prec).reshape(n, s, -1)
         weights = composite.render_weights(rgba[..., 3], dists, mode=cfg.mode)
         pred = composite.accumulate_color(weights, rgba[..., :3])
     return losses.sum_mse(pred, target)
