@@ -211,7 +211,8 @@ def _nerf_backward_kernel(
         db_ref[l : l + 1, :] += jnp.sum(d_z, axis=0, keepdims=True)
         if l > 0:
             d_h = _dot_t(d_z_c, w_ref[l].astype(cdt), precision)
-            d_z = d_h * (h_prev > 0).astype(jnp.float32)
+            # compare in f32 (bf16 comparisons unsupported on this target)
+            d_z = d_h * (h_prev.astype(jnp.float32) > 0).astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -334,6 +335,10 @@ def render_rays(
     S = config.num_samples
     if not compute_dtype:
         compute_dtype = getattr(config, "compute_dtype", "float32")
+    if compute_dtype == "bfloat16":
+        # fp32 contract precision on bf16 operands is invalid in Mosaic
+        # ("Bad lhs type"); bf16 is single-pass by definition
+        highest_precision = False
     widths = [config.in_channels] + [w.shape[1] for w in params["w"]]
     pw = pu.round_up(max(widths + [128]), 128)
     if not tile_rays:
