@@ -85,8 +85,14 @@ def main(argv=None) -> None:
 
     if not frames:
         raise SystemExit("no frames found")
-    imageio.mimsave(args.out, frames, fps=args.fps)
-    print(f"wrote {args.out} ({len(frames)} frames)")
+    out = args.out
+    try:
+        imageio.mimsave(out, frames, fps=args.fps)
+    except (ValueError, OSError):
+        # no ffmpeg backend available: fall back to gif
+        out = os.path.splitext(out)[0] + ".gif"
+        imageio.mimsave(out, frames, fps=args.fps)
+    print(f"wrote {out} ({len(frames)} frames)")
 
 
 if __name__ == "__main__":
