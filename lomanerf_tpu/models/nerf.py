@@ -73,6 +73,10 @@ class NeRFConfig:
 class NeRFModel:
     def __init__(self, config: NeRFConfig, backend: str = "jnp"):
         self.config = config
+        if backend == "auto":
+            from lomanerf_tpu.train.steps import resolve_backend
+
+            backend = resolve_backend(config, backend)
         self.backend = backend
 
     def init(self, key: jax.Array) -> mlp.Params:

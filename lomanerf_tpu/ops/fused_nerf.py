@@ -141,12 +141,26 @@ def _ray_selector(rows, R, S):
 
 def _nerf_forward_kernel(
     pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
-    *, L, R, S, mode, precision, cdt,
+    *, L, R, S, mode, precision, cdt, ablate="",
 ):
-    enc = _encode(pts_ref, E_ref, m_ref, precision)
-    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
-    rgba = acts[-1].astype(jnp.float32)
-    _, _, _, _, _, w = _composite_fwd(rgba, dists_ref[...], S, mode)
+    # ``ablate`` is a perf-debugging hook ("no_sin" / "no_composite" /
+    # "no_mlp"); production paths always pass "".
+    if "no_sin" in ablate:
+        enc = _dot(pts_ref[...], E_ref[...], precision)
+    else:
+        enc = _encode(pts_ref, E_ref, m_ref, precision)
+    if "no_mlp" in ablate:
+        rgba = enc.astype(jnp.float32)
+    else:
+        acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+        rgba = acts[-1].astype(jnp.float32)
+    if "no_composite" in ablate:
+        lane = _lane_iota(rgba.shape)
+        sigma = jnp.sum(jnp.where(lane == 3, rgba, 0.0), axis=1,
+                        keepdims=True)
+        w = 1.0 - jnp.exp(-sigma * dists_ref[...])
+    else:
+        _, _, _, _, _, w = _composite_fwd(rgba, dists_ref[...], S, mode)
     pw = rgba.shape[1]
     weighted = (rgba * w).reshape(R, S, pw)
     out_ref[...] = jnp.sum(weighted, axis=1)[:, :128]
@@ -217,7 +231,7 @@ def _nerf_backward_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
-                     compute_dtype="float32"):
+                     compute_dtype="float32", ablate=""):
     precision = (
         jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
     )
@@ -226,7 +240,7 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 
     fwd_kernel = functools.partial(
         _nerf_forward_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
-        cdt=cdt,
+        cdt=cdt, ablate=ablate,
     )
     bwd_kernel = functools.partial(
         _nerf_backward_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
@@ -322,7 +336,7 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 def render_rays(
     params, origins, directions, t_vals, dists, config,
     tile_rays: int = 0, highest_precision: bool = True,
-    compute_dtype: str = "",
+    compute_dtype: str = "", kw_ablate: str = "",
 ) -> jnp.ndarray:
     """Fused render: (N,3) colors from rays.  Differentiable w.r.t. params
     (input cotangents are zero — training optimizes params only).
@@ -364,7 +378,7 @@ def render_rays(
     w_stack, b_stack = pu.stack_padded_params(params, pw)
     render = _make_render_fns(
         L, tile_rays, S, pw, 3, config.num_encoding_functions, config.mode,
-        highest_precision, compute_dtype,
+        highest_precision, compute_dtype, kw_ablate,
     )
     out = render(w_stack, b_stack, pts_flat, dists_flat)
     return out[:n, :3]

@@ -13,6 +13,19 @@ from lomanerf_tpu.core import composite, encoding, losses
 from lomanerf_tpu.core.mlp import Params, mlp_apply
 
 
+def resolve_backend(cfg, backend: str = "auto") -> str:
+    """Pick the compute path: the fused pallas kernels win on MXU-bound
+    configs (wide MLP / many samples — measured 2x on 8x256x128spp); XLA's
+    fusion wins on the tiny parity MLP (elementwise-bound).  See PERF.md."""
+    if backend != "auto":
+        return backend
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    heavy = cfg.filter_size >= 128 or cfg.num_samples >= 64
+    return "pallas" if (on_tpu and heavy) else "jnp"
+
+
 def nerf_loss_fn(params, origins, directions, t_vals, dists, target, cfg,
                  backend: str = "jnp"):
     if backend == "pallas":
@@ -38,6 +51,7 @@ def make_single_chip_train_step(
 ) -> Callable:
     """step(params, opt_state, origins, directions, t_vals, dists, target)
     -> (params, opt_state, loss), jitted with donated carry."""
+    backend = resolve_backend(cfg, backend)
 
     def step(params, opt_state, origins, directions, t_vals, dists, target):
         loss, grads = jax.value_and_grad(nerf_loss_fn)(
