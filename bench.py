@@ -56,7 +56,7 @@ def main() -> None:
     ap.add_argument("--rays", type=int, default=262144, help="rays per step")
     ap.add_argument("--steps", type=int, default=10, help="timed steps")
     ap.add_argument(
-        "--backend", default="auto", choices=["auto", "jnp", "pallas"],
+        "--backend", default="auto", choices=["auto", "jnp", "pallas", "pallas-remat"],
         help="compute path for the train step",
     )
     ap.add_argument(

@@ -166,25 +166,21 @@ def _nerf_forward_kernel(
     out_ref[...] = jnp.sum(weighted, axis=1)[:, :128]
 
 
-def _nerf_backward_kernel(
-    pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
-    dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
+def _bwd_from_dcol(
+    dcol, acts, rgba, dists, comp, w_ref, dw_ref, db_ref,
+    *, L, R, S, mode, precision, cdt,
 ):
+    """Shared backward: from per-ray color cotangents ``dcol`` (R, pw) and
+    the in-VMEM forward state, accumulate dW/db across the sequential grid
+    (the race-free TPU analog of loma's ``atomic_add``,
+    reverse_diff.py:144-155)."""
     rows = R * S
-    # --- recompute forward (remat) ---
-    enc = _encode(pts_ref, E_ref, m_ref, precision)
-    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
-    rgba = acts[-1].astype(jnp.float32)
-    dists = dists_ref[...]
-    sigma, alpha, c, P, T, w = _composite_fwd(rgba, dists, S, mode)
+    sigma, alpha, c, P, T, w = comp
     pw = rgba.shape[1]
     lane = _lane_iota(rgba.shape)
     rgb_mask = (lane < 3).astype(jnp.float32)
 
     # --- compositing backward ---
-    dcol = dcol_ref[...]  # (R, 128); only lanes 0..2 nonzero
-    if pw > 128:
-        dcol = jnp.pad(dcol, ((0, 0), (0, pw - 128)))
     sel = _ray_selector(rows, R, S)
     dcol_b = _dot(sel, dcol, precision)  # (rows, pw) per-ray broadcast
     # color_ch = sum_s w * rgba_ch  (ch < 3)
@@ -213,11 +209,6 @@ def _nerf_backward_kernel(
     d_z = jnp.where(lane == 3, d_h * relu_m, d_h * sig_d)
 
     # --- MLP backward with accumulation across grid steps ---
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
-        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
-
     for l in range(L - 1, -1, -1):
         h_prev = acts[l]
         d_z_c = d_z.astype(cdt)
@@ -227,6 +218,78 @@ def _nerf_backward_kernel(
             d_h = _dot_t(d_z_c, w_ref[l].astype(cdt), precision)
             # compare in f32 (bf16 comparisons unsupported on this target)
             d_z = d_h * (h_prev.astype(jnp.float32) > 0).astype(jnp.float32)
+
+
+def _nerf_backward_kernel(
+    pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
+    dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
+):
+    # --- recompute forward (remat) ---
+    enc = _encode(pts_ref, E_ref, m_ref, precision)
+    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    dists = dists_ref[...]
+    comp = _composite_fwd(rgba, dists, S, mode)
+    pw = rgba.shape[1]
+
+    dcol = dcol_ref[...]  # (R, 128); only lanes 0..2 nonzero
+    if pw > 128:
+        dcol = jnp.pad(dcol, ((0, 0), (0, pw - 128)))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    _bwd_from_dcol(dcol, acts, rgba, dists, comp, w_ref, dw_ref, db_ref,
+                   L=L, R=R, S=S, mode=mode, precision=precision, cdt=cdt)
+
+
+def _nerf_train_kernel(
+    pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
+    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt, n_rays,
+):
+    """ONE pass: forward + sum-MSE loss + backward, activations staying in
+    VMEM.  Replaces the (forward kernel, remat-backward kernel) pair for the
+    train step — one full forward (including the dominant encoding sin pass)
+    cheaper per step.  Equivalent to the reference running
+    ``nerf_evaluate_and_march`` + ``grad_...`` in one fused call
+    (train_nerf.py:325-478) without recomputing the primal."""
+    enc = _encode(pts_ref, E_ref, m_ref, precision)
+    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    dists = dists_ref[...]
+    comp = _composite_fwd(rgba, dists, S, mode)
+    w = comp[-1]
+    pw = rgba.shape[1]
+
+    # per-ray reduction as a selector matmul (MXU) — reshape(R, S, pw) with
+    # S not a sublane multiple forces an expensive relayout
+    sel = _ray_selector(R * S, R, S)
+    pred = _dot_tt(sel, rgba * w, precision)  # (R, pw)
+    tgt = tgt_ref[...]  # (R, 128); lanes 0..2 real
+    if pw > 128:
+        tgt = jnp.pad(tgt, ((0, 0), (0, pw - 128)))
+    lane_r = _lane_iota(pred.shape)
+    ray_idx = pl.program_id(0) * R + jax.lax.broadcasted_iota(
+        jnp.int32, pred.shape, 0
+    )
+    # mask out pad lanes AND pad rays (rays >= n_rays are tile padding)
+    mask = jnp.where((lane_r < 3) & (ray_idx < n_rays), 1.0, 0.0)
+    diff = (pred - tgt) * mask
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    # keep the partial loss 2D end-to-end (scalar VMEM stores are invalid)
+    sq = jnp.sum(diff * diff, axis=1, keepdims=True)  # (R, 1)
+    loss_ref[...] += jnp.sum(sq, axis=0, keepdims=True)  # (1, 1)
+    _bwd_from_dcol(2.0 * diff, acts, rgba, dists, comp, w_ref, dw_ref,
+                   db_ref, L=L, R=R, S=S, mode=mode, precision=precision,
+                   cdt=cdt)
 
 
 @functools.lru_cache(maxsize=None)
@@ -331,6 +394,405 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 
     render.defvjp(render_fwd, render_bwd)
     return render
+
+
+# ---------------------------------------------------------------------------
+# transposed layout (narrow MLPs): activations are (PS, rows) — features on
+# SUBLANES (PS = width rounded to 8, e.g. 40 for the parity MLP), rows on
+# LANES.  Elementwise ops then touch PS/8 sublane-tiles instead of a full
+# 128-lane vreg per 8 rows: ~3.2x less VPU work for width-33 data, and the
+# per-sample compositing scalars become (1, rows) — one vreg per 128 samples
+# instead of per 8.  This is the structural fix for the lane waste measured
+# in the row-major kernel (PERF.md ablation); wide configs (PS >= 128) keep
+# the row-major kernels where lanes are already full.
+# ---------------------------------------------------------------------------
+
+
+def _sublane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _encode_T(ptsT, E_ref, m_ref, precision):
+    """(PS, rows) encoded points: P = E^T @ pts^T, then masked sin blend."""
+    P = _dot(E_ref[...], ptsT, precision)
+    return m_ref[:, 0:1] * P + m_ref[:, 1:2] * jnp.sin(P + m_ref[:, 2:3])
+
+
+def _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
+    """acts[l] are (PS, rows); w_ref[l] holds W_l^T in [:out, :in]."""
+    acts = [enc.astype(cdt)]
+    h = acts[0]
+    for l in range(L):
+        z = _dot(w_ref[l].astype(cdt), h, precision) + b_ref[:, l : l + 1]
+        if l < L - 1:
+            h = jnp.maximum(z, 0.0).astype(cdt)
+        else:
+            sub = _sublane_iota(z.shape)
+            h = jnp.where(
+                sub == 3, jnp.maximum(z, 0.0), jax.nn.sigmoid(z)
+            ).astype(cdt)
+        acts.append(h)
+    return acts
+
+
+def _composite_fwd_T(rgba, distsT, S, mode):
+    """Transposed compositing: all per-sample scalars are (1, rows).
+    Density is a static SUBLANE slice (rgba[3:4]) — free, unlike the
+    row-major masked-sum over lanes."""
+    sigma = rgba[3:4, :].astype(jnp.float32)
+    e = jnp.exp(-sigma * distsT)
+    alpha = 1.0 - e
+    c = e + EPS
+    P = pu.seg_inclusive_cumprod_lanes(c, S)
+    s_idx = pu._sample_index_lanes(alpha.shape[1], S)
+    if mode == "loma":
+        T = jnp.where(s_idx == 0, 1.0, P)
+    else:
+        T = pu.seg_shift_down_lanes(P, S, fill=1.0)
+    w = alpha * T
+    return sigma, alpha, c, P, T, w
+
+
+def _ray_matrix_T(R, rows, S):
+    """(R, rows) 0/1: column i belongs to ray i // S.  Used both to reduce
+    rows->rays (contract on lanes) and to broadcast rays->rows (contract on
+    R) — one MXU-resident matrix for both directions."""
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (R, rows), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, rows), 1) // S
+    return (row_of == col).astype(jnp.float32)
+
+
+def _nerf_train_kernel_T(
+    ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, tgtT_ref,
+    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt, n_rays,
+    ablate="",
+):
+    """Transposed single-pass train kernel: forward + sum-MSE + backward.
+    Outputs dW in W^T layout (L, PS, PS) and db as (PS, L) columns."""
+    rows = R * S
+    enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    distsT = distsT_ref[...]
+    sigma, alpha, c, P, T, w = _composite_fwd_T(rgba, distsT, S, mode)
+    ps = rgba.shape[0]
+
+    M = _ray_matrix_T(R, rows, S)
+    # per-ray reduction lands ROW-major (R, PS) so targets/rays stay on the
+    # (R, 128) layout (any R multiple of 8 tiles cleanly -> smaller tiles
+    # than a lane-aligned (8, R) target block would allow)
+    pred = _dot_t(M, rgba * w, precision)  # (R, PS)
+    tgt = tgtT_ref[...][:, :ps]  # (R, PS): lanes 0..2 real
+    lane = _lane_iota(tgt.shape)
+    ray_idx = pl.program_id(0) * R + _sublane_iota(tgt.shape)
+    mask = jnp.where((lane < 3) & (ray_idx < n_rays), 1.0, 0.0)
+    diff = (pred - tgt) * mask  # (R, PS)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    sq = jnp.sum(diff * diff, axis=1, keepdims=True)  # (R, 1)
+    loss_ref[...] += jnp.sum(sq, axis=0, keepdims=True)
+
+    if "no_bwd" in ablate:  # perf-ablation hook: forward+loss only
+        return
+
+    # --- compositing backward (all (1, rows) lane math) ---
+    dcol = 2.0 * diff  # (R, PS)
+    dcol_b = _dot_tt(dcol, M, precision)  # (PS, rows) per-ray broadcast
+    d_w = (
+        dcol_b[0:1] * rgba[0:1]
+        + dcol_b[1:2] * rgba[1:2]
+        + dcol_b[2:3] * rgba[2:3]
+    )  # (1, rows)
+    sub = _sublane_iota(rgba.shape)
+    rgb_mask = (sub < 3).astype(jnp.float32)
+    d_rgb = dcol_b * w * rgb_mask
+    s_idx = pu._sample_index_lanes(rows, S)
+    if mode == "loma":
+        d_T = jnp.where(s_idx == 0, 0.0, d_w * alpha)
+        suf = pu.seg_suffix_sum_lanes(d_T * P, S)
+        d_c = suf / c
+    else:
+        d_T_incl = d_w * alpha
+        rolled = pltpu.roll(d_T_incl, rows - 1, axis=1)
+        d_P = jnp.where(s_idx < S - 1, rolled, 0.0)
+        suf = pu.seg_suffix_sum_lanes(d_P * P, S)
+        d_c = suf / c
+    d_alpha = d_w * T - d_c
+    d_sigma = d_alpha * distsT * (1.0 - alpha)  # (1, rows)
+
+    # --- head backward ---
+    d_h = d_rgb + d_sigma * (sub == 3).astype(jnp.float32)
+    relu_m = (rgba > 0).astype(jnp.float32)
+    sig_d = rgba * (1.0 - rgba)
+    d_z = jnp.where(sub == 3, d_h * relu_m, d_h * sig_d)
+
+    if "no_mlp_bwd" in ablate:  # perf-ablation hook
+        return
+
+    # --- MLP backward: dW^T[l] = d_z @ h_prev^T (contract rows-lanes) ---
+    for l in range(L - 1, -1, -1):
+        h_prev = acts[l]
+        d_z_c = d_z.astype(cdt)
+        dw_ref[l] += _dot_t(d_z_c, h_prev, precision)
+        db_ref[:, l : l + 1] += jnp.sum(d_z, axis=1, keepdims=True)
+        if l > 0:
+            d_h = _dot_tt(w_ref[l].astype(cdt), d_z_c, precision)
+            d_z = d_h * (h_prev.astype(jnp.float32) > 0).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
+                     compute_dtype, n_rays, ablate=""):
+    precision = (
+        jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
+    )
+    cdt = jnp.dtype(compute_dtype)
+    E_np, m_np = pu.build_encoding_consts_T(in_dim, num_functions, ps)
+    in_pad = E_np.shape[1]
+    kernel = functools.partial(
+        _nerf_train_kernel_T, L=L, R=R, S=S, mode=mode, precision=precision,
+        cdt=cdt, n_rays=n_rays, ablate=ablate,
+    )
+    rows = R * S
+
+    def train_call(w_stack, b_stack, ptsT, distsT, tgtT):
+        n_tiles = ptsT.shape[1] // rows
+        w_c = w_stack.astype(cdt)
+        in_specs = [
+            pl.BlockSpec((in_pad, rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, in_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        loss, dw, db = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ps, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
+                jax.ShapeDtypeStruct((ps, L), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np), w_c, b_stack,
+          tgtT)
+        return loss[0, 0], dw, db
+
+    @jax.custom_vjp
+    def fused_loss(w_stack, b_stack, ptsT, distsT, tgtT):
+        loss, _, _ = train_call(w_stack, b_stack, ptsT, distsT, tgtT)
+        return loss
+
+    def fused_loss_fwd(w_stack, b_stack, ptsT, distsT, tgtT):
+        loss, dw, db = train_call(w_stack, b_stack, ptsT, distsT, tgtT)
+        return loss, (dw, db, ptsT.shape, distsT.shape, tgtT.shape)
+
+    def fused_loss_bwd(res, g):
+        dw, db, pts_shape, dists_shape, tgt_shape = res
+        return (g * dw, g * db, jnp.zeros(pts_shape, jnp.float32),
+                jnp.zeros(dists_shape, jnp.float32),
+                jnp.zeros(tgt_shape, jnp.float32))
+
+    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
+    return fused_loss
+
+
+def _nerf_train_loss_T(
+    params, origins, directions, t_vals, dists, target, config,
+    tile_rays: int, highest_precision: bool, compute_dtype: str, ps: int,
+    ablate: str = "",
+) -> jnp.ndarray:
+    L = len(params["w"])
+    S = config.num_samples
+    n = origins.shape[0]
+    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+    o = pad_rays(origins.astype(jnp.float32))
+    d = pad_rays(directions.astype(jnp.float32))
+    t = pad_rays(t_vals.astype(jnp.float32))
+    pts = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(n_pad * S, 3)
+    ptsT = jnp.pad(pts.T, ((0, 5), (0, 0)))  # (8, rows)
+    distsT = pad_rays(dists.astype(jnp.float32)).reshape(1, n_pad * S)
+    tgt = pad_rays(target.astype(jnp.float32))  # (n_pad, 3) row-major
+    tgtT = jnp.pad(tgt, ((0, 0), (0, 128 - tgt.shape[1])))
+
+    w_stack, b_stack = pu.stack_padded_params_T(params, ps)
+    fused = _make_train_fn_T(
+        L, tile_rays, S, ps, 3, config.num_encoding_functions, config.mode,
+        highest_precision, compute_dtype, n, ablate,
+    )
+    return fused(w_stack, b_stack, ptsT, distsT, tgtT)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
+                   compute_dtype, n_rays):
+    """Fused loss+grad: loss(w, b, pts, dists, targets) as a custom_vjp whose
+    forward pass ALSO produces dW/db (one kernel launch per train step)."""
+    precision = (
+        jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
+    )
+    cdt = jnp.dtype(compute_dtype)
+    E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
+    kernel = functools.partial(
+        _nerf_train_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
+        cdt=cdt, n_rays=n_rays,
+    )
+    rows = R * S
+
+    def train_call(w_stack, b_stack, pts_flat, dists_flat, tgt_pad):
+        n_tiles = pts_flat.shape[0] // rows
+        w_c = w_stack.astype(cdt)
+        in_specs = [
+            pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_dim, pw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        loss, dw, db = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, pw), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
+                jax.ShapeDtypeStruct((L, pw), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(pts_flat, dists_flat, jnp.asarray(E_np), jnp.asarray(m_np),
+          w_c, b_stack, tgt_pad)
+        return loss[0, 0], dw, db
+
+    @jax.custom_vjp
+    def fused_loss(w_stack, b_stack, pts_flat, dists_flat, tgt_pad):
+        loss, _, _ = train_call(w_stack, b_stack, pts_flat, dists_flat,
+                                tgt_pad)
+        return loss
+
+    def fused_loss_fwd(w_stack, b_stack, pts_flat, dists_flat, tgt_pad):
+        loss, dw, db = train_call(w_stack, b_stack, pts_flat, dists_flat,
+                                  tgt_pad)
+        return loss, (dw, db, pts_flat.shape, dists_flat.shape,
+                      tgt_pad.shape)
+
+    def fused_loss_bwd(res, g):
+        dw, db, pts_shape, dists_shape, tgt_shape = res
+        return (g * dw, g * db, jnp.zeros(pts_shape, jnp.float32),
+                jnp.zeros(dists_shape, jnp.float32),
+                jnp.zeros(tgt_shape, jnp.float32))
+
+    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
+    return fused_loss
+
+
+def nerf_train_loss(
+    params, origins, directions, t_vals, dists, target, config,
+    tile_rays: int = 0, highest_precision: bool = True,
+    compute_dtype: str = "",
+) -> jnp.ndarray:
+    """Sum-MSE train loss whose VJP comes from the single fused train
+    kernel (forward + compositing + backward in one pass, activations never
+    leaving VMEM).  Differentiable w.r.t. ``params`` only — use under
+    ``jax.value_and_grad`` / ``jax.vjp``; the adjoint seed (the reference's
+    loss-valued ``_dreturn``, train_nerf.py:477) is the VJP cotangent."""
+    L = len(params["w"])
+    S = config.num_samples
+    if not compute_dtype:
+        compute_dtype = getattr(config, "compute_dtype", "float32")
+    if compute_dtype == "bfloat16":
+        highest_precision = False
+    widths = [config.in_channels] + [w.shape[1] for w in params["w"]]
+    # narrow MLPs dispatch to the transposed layout (features on sublanes:
+    # ~3x less VPU elementwise work, 16x cheaper compositing scans) when the
+    # tile fits VMEM; wide configs keep the row-major layout (lanes full)
+    ps = pu.round_up(max(max(widths), 8), 8)
+    itemsize = 2 if compute_dtype == "bfloat16" else 4
+    if ps <= 64 and tile_rays == 0:
+        # smallest ray tile whose (rows = R*S) lane dim is 128-aligned, then
+        # grow while the conservative VMEM model fits (Mosaic's real live set
+        # measured ~2x the bare activation estimate, so budget 4 MB)
+        R_T = 8
+        while (R_T * S) % 128:
+            R_T += 8
+
+        def vmem_est(r):
+            return r * S * ps * itemsize * (L + 6) + r * r * S * 4
+
+        while R_T < 1024 and vmem_est(R_T * 2) <= 4 * 1024 * 1024:
+            R_T *= 2
+        if vmem_est(R_T) <= 4 * 1024 * 1024:
+            return _nerf_train_loss_T(
+                params, origins, directions, t_vals, dists, target, config,
+                R_T, highest_precision, compute_dtype, ps,
+            )
+    pw = pu.round_up(max(widths + [128]), 128)
+    if not tile_rays:
+        tile_rays = pu.pick_tile_rays(S, pw, n_live_buffers=L + 5,
+                                      itemsize=itemsize)
+    n = origins.shape[0]
+    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+    o = pad_rays(origins.astype(jnp.float32))
+    d = pad_rays(directions.astype(jnp.float32))
+    t = pad_rays(t_vals.astype(jnp.float32))
+    pts_flat = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(
+        n_pad * S, 3
+    )
+    dists_flat = pad_rays(dists.astype(jnp.float32)).reshape(n_pad * S, 1)
+    tgt = pad_rays(target.astype(jnp.float32))
+    tgt_pad = jnp.pad(tgt, ((0, 0), (0, 128 - tgt.shape[1])))
+
+    w_stack, b_stack = pu.stack_padded_params(params, pw)
+    fused = _make_train_fn(
+        L, tile_rays, S, pw, 3, config.num_encoding_functions, config.mode,
+        highest_precision, compute_dtype, n,
+    )
+    return fused(w_stack, b_stack, pts_flat, dists_flat, tgt_pad)
 
 
 def render_rays(

@@ -59,6 +59,19 @@ def build_encoding_consts(
     return E, masks
 
 
+def build_encoding_consts_T(
+    in_dim: int, num_functions: int, ps: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Transposed-layout encoding constants: E^T (ps, in_pad8) and masks^T
+    (ps, 3) so ``enc = m[:,0:1]*P + m[:,1:2]*sin(P + m[:,2:3])`` with
+    ``P = E^T @ pts^T`` of shape (ps, rows)."""
+    E, m = build_encoding_consts(in_dim, num_functions, ps)
+    in_pad = round_up(in_dim, 8)
+    E_T = np.zeros((ps, in_pad), np.float32)
+    E_T[:, :in_dim] = E.T
+    return E_T, np.ascontiguousarray(m.T)
+
+
 def stack_padded_params(params, pw: int):
     """Pad each layer's (in, out) weight to (pw, pw) / bias to (pw,) and
     stack: returns (L, pw, pw) and (L, pw).  Zero padding keeps padded lanes
@@ -149,3 +162,60 @@ def seg_shift_down(x: jnp.ndarray, num_samples: int, fill: float) -> jnp.ndarray
     s_idx = _sample_index(rows, num_samples)
     rolled = pltpu.roll(x, 1, axis=0)
     return jnp.where(s_idx >= 1, rolled, fill)
+
+
+# ---------------------------------------------------------------------------
+# the same segmented scans on (1, rows) arrays — the transposed kernel layout
+# keeps per-sample scalars on LANES, so one vreg holds 128 real values
+# instead of 8 (see ops/fused_nerf.py "transposed layout")
+# ---------------------------------------------------------------------------
+
+
+def _sample_index_lanes(rows: int, num_samples: int) -> jnp.ndarray:
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+    return col % num_samples
+
+
+def seg_inclusive_cumprod_lanes(x, num_samples: int):
+    rows = x.shape[1]
+    s_idx = _sample_index_lanes(rows, num_samples)
+    shift = 1
+    while shift < num_samples:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x * jnp.where(s_idx >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def seg_suffix_sum_lanes(x, num_samples: int):
+    rows = x.shape[1]
+    s_idx = _sample_index_lanes(rows, num_samples)
+    shift = 1
+    while shift < num_samples:
+        rolled = pltpu.roll(x, rows - shift, axis=1)
+        x = x + jnp.where(s_idx < num_samples - shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def seg_shift_down_lanes(x, num_samples: int, fill: float):
+    rows = x.shape[1]
+    s_idx = _sample_index_lanes(rows, num_samples)
+    rolled = pltpu.roll(x, 1, axis=1)
+    return jnp.where(s_idx >= 1, rolled, fill)
+
+
+def stack_padded_params_T(params, ps: int):
+    """Transposed-layout param stacks: W^T stacked to (L, ps, ps) with
+    [l, :out, :in] = W_l.T, biases to (ps, L) columns.  ``ps`` is the
+    sublane-padded width (multiple of 8), typically far below 128."""
+    ws, bs = params["w"], params["b"]
+    L = len(ws)
+    w_stack = jnp.zeros((L, ps, ps), jnp.float32)
+    b_stack = jnp.zeros((ps, L), jnp.float32)
+    for i, (w, b) in enumerate(zip(ws, bs)):
+        w_stack = w_stack.at[i, : w.shape[1], : w.shape[0]].set(
+            w.astype(jnp.float32).T
+        )
+        b_stack = b_stack.at[: b.shape[0], i].set(b.astype(jnp.float32))
+    return w_stack, b_stack

@@ -29,6 +29,14 @@ def resolve_backend(cfg, backend: str = "auto") -> str:
 def nerf_loss_fn(params, origins, directions, t_vals, dists, target, cfg,
                  backend: str = "jnp"):
     if backend == "pallas":
+        # single fused kernel computes loss AND gradients in one pass
+        # (activations never leave VMEM; one fewer forward per step)
+        from lomanerf_tpu.ops import fused_nerf
+
+        return fused_nerf.nerf_train_loss(params, origins, directions,
+                                          t_vals, dists, target, cfg)
+    elif backend == "pallas-remat":
+        # ablation path: separate forward kernel + remat backward kernel
         from lomanerf_tpu.ops import fused_nerf
 
         pred = fused_nerf.render_rays(params, origins, directions, t_vals,

@@ -106,6 +106,69 @@ def test_fused_nerf_grads_match_jax_grad(rng, mode):
                                    rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_fused_train_loss_and_grads_match_jax_grad(rng, mode):
+    """The single-pass fused train kernel (loss+grad in one pallas_call)
+    matches value_and_grad of the jnp pipeline, including ray padding and a
+    non-unit cotangent seed (the reference's loss-valued _dreturn)."""
+    cfg = NeRFConfig(num_samples=8, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(7), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20  # not a tile multiple: exercises the in-kernel validity mask
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    loss, got = jax.value_and_grad(
+        lambda p: fused_nerf.nerf_train_loss(p, o, d, t, dists, target, cfg,
+                                             tile_rays=8)
+    )(params)
+    want_loss, want = jax.value_and_grad(
+        lambda p: nerf_loss_rays(p, o, d, t, dists, target,
+                                 cfg.num_encoding_functions, mode)
+    )(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+    # loss-seeded adjoint (parity quirk): cotangent scales the fused grads
+    l2, vjp = jax.vjp(
+        lambda p: fused_nerf.nerf_train_loss(p, o, d, t, dists, target, cfg,
+                                             tile_rays=8), params)
+    (seeded,) = vjp(l2)
+    for a, b in zip(jax.tree.leaves(seeded), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a),
+                                   float(l2) * np.asarray(b), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_fused_train_loss_transposed_layout(rng, mode):
+    """The transposed-layout train kernel (auto-dispatched for narrow MLPs
+    at the default tile) matches value_and_grad of the jnp pipeline."""
+    cfg = NeRFConfig(num_samples=8, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(9), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20  # pads to 128 rays: exercises the validity mask heavily
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    loss, got = jax.value_and_grad(
+        lambda p: fused_nerf.nerf_train_loss(p, o, d, t, dists, target, cfg)
+    )(params)
+    want_loss, want = jax.value_and_grad(
+        lambda p: nerf_loss_rays(p, o, d, t, dists, target,
+                                 cfg.num_encoding_functions, mode)
+    )(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
 def test_fused_field_forward_and_grads(rng):
     """2D image-fit kernel vs core: sigmoid MLP over encoded coords."""
     from lomanerf_tpu.core.pipeline import image_fit_loss, image_fit_pred
