@@ -76,11 +76,11 @@ def main() -> None:
 
     backend = args.backend
     if backend == "auto":
-        # measured on v5e: the XLA-fused jnp step currently beats the
-        # hand-fused pallas step on the tiny parity MLP (38 vs 63 ms at 64k
-        # rays) — the workload is VPU/elementwise-bound, not MXU-bound.
-        # Re-point to pallas when it wins.
-        backend = "jnp"
+        # v5e, 262144 rays/step, back-to-back: fused pallas train kernel
+        # (transposed layout) 3.06 Mrays/s vs XLA-fused jnp 1.65 Mrays/s.
+        from lomanerf_tpu.train.steps import resolve_backend
+
+        backend = resolve_backend(NeRFConfig.small())
 
     cfg = NeRFConfig.small()  # the reference parity workload
     params = init_mlp(

@@ -14,16 +14,17 @@ from lomanerf_tpu.core.mlp import Params, mlp_apply
 
 
 def resolve_backend(cfg, backend: str = "auto") -> str:
-    """Pick the compute path: the fused pallas kernels win on MXU-bound
-    configs (wide MLP / many samples — measured 2x on 8x256x128spp); XLA's
-    fusion wins on the tiny parity MLP (elementwise-bound).  See PERF.md."""
+    """Pick the compute path.  On TPU the fused pallas kernels win across
+    the config ladder: 2x on the MXU-bound 8x256x128spp flagship (bf16
+    row-major layout) and 1.9x on the narrow parity MLP (transposed
+    features-on-sublanes layout, auto-selected inside ops.fused_nerf).
+    See PERF.md for the measurements."""
     if backend != "auto":
         return backend
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    heavy = cfg.filter_size >= 128 or cfg.num_samples >= 64
-    return "pallas" if (on_tpu and heavy) else "jnp"
+    return "pallas" if on_tpu else "jnp"
 
 
 def nerf_loss_fn(params, origins, directions, t_vals, dists, target, cfg,
