@@ -54,7 +54,9 @@ def measure_baseline_live(budget_s: float = 3.0) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=262144, help="rays per step")
-    ap.add_argument("--steps", type=int, default=10, help="timed steps")
+    ap.add_argument("--steps", type=int, default=10, help="timed outer calls")
+    ap.add_argument("--inner-steps", dest="inner_steps", type=int, default=20,
+                    help="train steps chained inside one jit per outer call")
     ap.add_argument(
         "--backend", default="auto", choices=["auto", "jnp", "pallas", "pallas-remat"],
         help="compute path for the train step",
@@ -92,38 +94,58 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     n = args.rays
-    origins = jnp.asarray(rng.standard_normal((n, 3)), dtype=jnp.float32)
-    directions = jnp.asarray(rng.standard_normal((n, 3)), dtype=jnp.float32)
-    _, t_vals, dists = sample_along_rays(
-        origins, directions, cfg.near, cfg.far, cfg.num_samples
-    )
-    target = jnp.asarray(rng.random((n, 3)), dtype=jnp.float32)
 
-    # donate=False: the device relay in this environment memoizes execution
-    # on (executable, input buffer ids); donated carries cycle between two
-    # buffers and later steps silently return cached results, faking
-    # 100-1000x speedups.  Without donation every step's params are fresh
-    # buffers, so each step really executes.
+    def make_batch():
+        o = jnp.asarray(rng.standard_normal((n, 3)), dtype=jnp.float32)
+        d = jnp.asarray(rng.standard_normal((n, 3)), dtype=jnp.float32)
+        _, t_vals, dists = sample_along_rays(
+            o, d, cfg.near, cfg.far, cfg.num_samples
+        )
+        target = jnp.asarray(rng.random((n, 3)), dtype=jnp.float32)
+        return o, d, t_vals, dists, target
+
+    # Measurement integrity in this environment (see PERF.md):
+    # * the device relay memoizes execution on (executable, input buffer
+    #   ids) -> donate=False and DISTINCT batches cycled across calls,
+    # * block_until_ready does not reliably fence, and a host fetch costs a
+    #   fixed ~32 ms relay round-trip -> K train steps are chained inside
+    #   one jit (params carry forces every step to really execute; the
+    #   final loss depends on all of them) and ONE float(loss) fetch per
+    #   call amortizes the RTT to ~32/K ms.
     step = make_single_chip_train_step(cfg, opt, backend=backend,
                                        donate=False)
-    # warmup / compile
-    for _ in range(3):
-        params, opt_state, loss = step(params, opt_state, origins, directions,
-                                       t_vals, dists, target)
-    jax.block_until_ready((params, opt_state, loss))
+    K = args.inner_steps
 
-    # Per-step host sync via float(loss): block_until_ready does not reliably
-    # fence through this environment's device relay, but fetching each step's
-    # (distinct) loss value cannot be faked.  The ~20 ms RPC round-trip is
-    # amortized by the large default batch.
-    times = []
-    for _ in range(args.steps):
+    @jax.jit
+    def run_k(params, opt_state, batch):
+        def body(carry, _):
+            p, s = carry
+            p, s, loss = step(p, s, *batch)  # jit-of-jit inlines
+            return (p, s), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=K
+        )
+        return params, opt_state, losses[-1]
+
+    batches = [make_batch() for _ in range(2)]
+    # warmup / compile
+    p, s = params, opt_state
+    for b in batches:
+        p, s, loss = run_k(p, s, b)
+    _ = float(loss)
+
+    times, losses_seen = [], []
+    for i in range(args.steps):
+        b = batches[i % len(batches)]
         t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state, origins,
-                                       directions, t_vals, dists, target)
+        p, s, loss = run_k(p, s, b)
         lv = float(loss)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / K)
+        losses_seen.append(lv)
     assert np.isfinite(lv), "non-finite loss in benchmark"
+    # params evolve, so repeated calls must yield distinct losses (a relay
+    # cache hit would repeat one)
+    assert len(set(losses_seen)) == len(losses_seen), losses_seen
     rays_per_s = args.rays / sorted(times)[len(times) // 2]
 
     baseline = measure_baseline_live() if args.live_baseline else LOMA_CPU_RAYS_PER_S

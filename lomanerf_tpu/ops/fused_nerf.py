@@ -470,23 +470,46 @@ def _nerf_train_kernel_T(
     """Transposed single-pass train kernel: forward + sum-MSE + backward.
     Outputs dW in W^T layout (L, PS, PS) and db as (PS, L) columns."""
     rows = R * S
+    if "enc_only" in ablate:  # measure launch+DMA+encode floor
+        enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+            dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+            db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+        loss_ref[...] += jnp.sum(enc[:1, :1], axis=0, keepdims=True)
+        return
     enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
     distsT = distsT_ref[...]
-    sigma, alpha, c, P, T, w = _composite_fwd_T(rgba, distsT, S, mode)
+    if "no_scans" in ablate:  # perf hook: skip the compositing scans
+        sigma = rgba[3:4, :].astype(jnp.float32)
+        alpha = 1.0 - jnp.exp(-sigma * distsT_ref[...])
+        c = P = T = jnp.ones_like(alpha)
+        w = alpha
+    else:
+        sigma, alpha, c, P, T, w = _composite_fwd_T(rgba, distsT, S, mode)
     ps = rgba.shape[0]
 
-    M = _ray_matrix_T(R, rows, S)
-    # per-ray reduction lands ROW-major (R, PS) so targets/rays stay on the
-    # (R, 128) layout (any R multiple of 8 tiles cleanly -> smaller tiles
-    # than a lane-aligned (8, R) target block would allow)
-    pred = _dot_t(M, rgba * w, precision)  # (R, PS)
-    tgt = tgtT_ref[...][:, :ps]  # (R, PS): lanes 0..2 real
-    lane = _lane_iota(tgt.shape)
-    ray_idx = pl.program_id(0) * R + _sublane_iota(tgt.shape)
-    mask = jnp.where((lane < 3) & (ray_idx < n_rays), 1.0, 0.0)
-    diff = (pred - tgt) * mask  # (R, PS)
+    # Per-ray color sums and their broadcast back to rows as segmented lane
+    # scans on an (8, rows) slice — no (R, rows) ray matrix (quadratic VMEM
+    # in the ray tile) and no MXU passes.
+    g8 = (rgba * w)[:8, :]  # sublanes 0..2 real
+    if "no_scans" in ablate:
+        suf = g8
+    else:
+        suf = pu.seg_suffix_sum_lanes(g8, S)  # value at s=0: ray's color
+    tgt = tgtT_ref[...]  # (8, rows): per-ray target replicated across s
+    sub8 = _sublane_iota(tgt.shape)
+    row_idx = pl.program_id(0) * rows + jax.lax.broadcasted_iota(
+        jnp.int32, tgt.shape, 1
+    )
+    s_idx = pu._sample_index_lanes(rows, S)
+    valid = (sub8 < 3) & (row_idx < n_rays * S)
+    diff0 = jnp.where(valid & (s_idx == 0), suf - tgt, 0.0)  # (8, rows)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -494,25 +517,30 @@ def _nerf_train_kernel_T(
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
         db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
-    sq = jnp.sum(diff * diff, axis=1, keepdims=True)  # (R, 1)
+    sq = jnp.sum(diff0 * diff0, axis=1, keepdims=True)  # (8, 1)
     loss_ref[...] += jnp.sum(sq, axis=0, keepdims=True)
 
     if "no_bwd" in ablate:  # perf-ablation hook: forward+loss only
         return
 
     # --- compositing backward (all (1, rows) lane math) ---
-    dcol = 2.0 * diff  # (R, PS)
-    dcol_b = _dot_tt(dcol, M, precision)  # (PS, rows) per-ray broadcast
+    if "no_scans" in ablate:
+        dcol8 = 2.0 * diff0
+    else:
+        dcol8 = 2.0 * pu.seg_broadcast_first_lanes(diff0, S)  # (8, rows)
     d_w = (
-        dcol_b[0:1] * rgba[0:1]
-        + dcol_b[1:2] * rgba[1:2]
-        + dcol_b[2:3] * rgba[2:3]
+        dcol8[0:1] * rgba[0:1]
+        + dcol8[1:2] * rgba[1:2]
+        + dcol8[2:3] * rgba[2:3]
     )  # (1, rows)
+    dcol_b = jnp.pad(dcol8, ((0, ps - 8), (0, 0)))  # (PS, rows)
     sub = _sublane_iota(rgba.shape)
     rgb_mask = (sub < 3).astype(jnp.float32)
     d_rgb = dcol_b * w * rgb_mask
     s_idx = pu._sample_index_lanes(rows, S)
-    if mode == "loma":
+    if "no_scans" in ablate:
+        d_c = jnp.zeros_like(c)
+    elif mode == "loma":
         d_T = jnp.where(s_idx == 0, 0.0, d_w * alpha)
         suf = pu.seg_suffix_sum_lanes(d_T * P, S)
         d_c = suf / c
@@ -574,7 +602,8 @@ def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
             pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ]
         loss, dw, db = pl.pallas_call(
             kernel,
@@ -639,8 +668,10 @@ def _nerf_train_loss_T(
     pts = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(n_pad * S, 3)
     ptsT = jnp.pad(pts.T, ((0, 5), (0, 0)))  # (8, rows)
     distsT = pad_rays(dists.astype(jnp.float32)).reshape(1, n_pad * S)
-    tgt = pad_rays(target.astype(jnp.float32))  # (n_pad, 3) row-major
-    tgtT = jnp.pad(tgt, ((0, 0), (0, 128 - tgt.shape[1])))
+    # per-ray targets replicated across samples: (8, rows) so the kernel's
+    # loss/cotangent math stays in the transposed lane layout
+    tgt_rows = jnp.repeat(pad_rays(target.astype(jnp.float32)), S, axis=0)
+    tgtT = jnp.pad(tgt_rows.T, ((0, 5), (0, 0)))  # (8, n_pad*S)
 
     w_stack, b_stack = pu.stack_padded_params_T(params, ps)
     fused = _make_train_fn_T(
@@ -752,17 +783,17 @@ def nerf_train_loss(
     if ps <= 64 and tile_rays == 0:
         # smallest ray tile whose (rows = R*S) lane dim is 128-aligned, then
         # grow while the conservative VMEM model fits (Mosaic's real live set
-        # measured ~2x the bare activation estimate, so budget 4 MB)
+        # measured ~2x the bare activation estimate, so budget 6 MB)
         R_T = 8
         while (R_T * S) % 128:
             R_T += 8
 
         def vmem_est(r):
-            return r * S * ps * itemsize * (L + 6) + r * r * S * 4
+            return r * S * ps * itemsize * (L + 6)
 
-        while R_T < 1024 and vmem_est(R_T * 2) <= 4 * 1024 * 1024:
+        while R_T < 1024 and vmem_est(R_T * 2) <= 6 * 1024 * 1024:
             R_T *= 2
-        if vmem_est(R_T) <= 4 * 1024 * 1024:
+        if vmem_est(R_T) <= 6 * 1024 * 1024:
             return _nerf_train_loss_T(
                 params, origins, directions, t_vals, dists, target, config,
                 R_T, highest_precision, compute_dtype, ps,

@@ -198,6 +198,20 @@ def seg_suffix_sum_lanes(x, num_samples: int):
     return x
 
 
+def seg_broadcast_first_lanes(x, num_samples: int):
+    """out[s] = x[0] within each segment (broadcast the segment-start value
+    to every position): after k doubling steps y[s] = x[max(0, s-(2^k-1))],
+    so ceil(log2 S) masked rolls converge to the s=0 value."""
+    rows = x.shape[1]
+    s_idx = _sample_index_lanes(rows, num_samples)
+    shift = 1
+    while shift < num_samples:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = jnp.where(s_idx >= shift, rolled, x)
+        shift *= 2
+    return x
+
+
 def seg_shift_down_lanes(x, num_samples: int, fill: float):
     rows = x.shape[1]
     s_idx = _sample_index_lanes(rows, num_samples)

@@ -64,30 +64,24 @@ def main():
         print(f"{label}: {med*1e3:8.2f} ms  ({N/med/1e6:5.2f} Mrays/s)",
               flush=True)
 
-    # jnp reference: loss+grad
-    timeit(lambda p, o, d, t, di, tg: jax.value_and_grad(
-        lambda q: nerf_loss_rays(q, o, d, t, di, tg,
-                                 cfg.num_encoding_functions, cfg.mode))(p),
-        "jnp value_and_grad (highest)")
-
-    # transposed fused train kernel: full and ablations, per tile size
-    for R in (64, 128):
-        for ab in ("", "no_bwd", "no_mlp_bwd"):
-            def mk(p, o, d, t, di, tg, R=R, ab=ab):
-                return jax.value_and_grad(
-                    lambda q: fused_nerf._nerf_train_loss_T(
-                        q, o, d, t, di, tg, cfg, R, True, "float32", 40, ab)
-                )(p)
-            timeit(mk, f"T-kernel R={R:3d} ablate={ab or 'none':10s}")
-
-    # row-major fused train kernel
-    for tile in (32, 64):
-        def mk(p, o, d, t, di, tg, tile=tile):
+    # transposed fused train kernel: full and ablations
+    cases = [
+        (128, True, "float32", ""),
+        (128, True, "float32", "enc_only"),
+        (128, True, "float32", "no_bwd"),
+        (128, True, "float32", "no_scans"),
+        (128, True, "float32", "no_mlp_bwd"),
+        (128, False, "float32", ""),
+        (128, False, "bfloat16", ""),
+        (256, True, "float32", ""),
+    ]
+    for R, hp, cdt, ab in cases:
+        def mk(p, o, d, t, di, tg, R=R, hp=hp, cdt=cdt, ab=ab):
             return jax.value_and_grad(
-                lambda q: fused_nerf.nerf_train_loss(
-                    q, o, d, t, di, tg, cfg, tile_rays=tile)
+                lambda q: fused_nerf._nerf_train_loss_T(
+                    q, o, d, t, di, tg, cfg, R, hp, cdt, 40, ab)
             )(p)
-        timeit(mk, f"rm-kernel tile={tile}")
+        timeit(mk, f"T R={R:3d} hp={int(hp)} {cdt:8s} ablate={ab or 'none'}")
 
 
 if __name__ == "__main__":
