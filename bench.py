@@ -53,7 +53,11 @@ def measure_baseline_live(budget_s: float = 3.0) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rays", type=int, default=262144, help="rays per step")
+    ap.add_argument("--rays", type=int, default=0,
+                    help="rays per step (default: per-config)")
+    ap.add_argument("--config", default="small",
+                    choices=["small", "single64", "full"],
+                    help="NeRF config ladder entry (small = reference parity)")
     ap.add_argument("--steps", type=int, default=10, help="timed outer calls")
     ap.add_argument("--inner-steps", dest="inner_steps", type=int, default=20,
                     help="train steps chained inside one jit per outer call")
@@ -84,7 +88,12 @@ def main() -> None:
 
         backend = resolve_backend(NeRFConfig.small())
 
-    cfg = NeRFConfig.small()  # the reference parity workload
+    cfg = {"small": NeRFConfig.small, "single64": NeRFConfig.single_view_64,
+           "full": NeRFConfig.full}[args.config]()
+    if not args.rays:
+        # keep per-step sample count comparable across the ladder
+        args.rays = {"small": 262144, "single64": 65536, "full": 16384}[
+            args.config]
     params = init_mlp(
         jax.random.PRNGKey(0), cfg.in_channels, cfg.out_channels,
         cfg.num_layers, cfg.filter_size,
@@ -152,7 +161,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"nerf_train_rays_per_s_chip[{backend}]",
+                "metric": f"nerf_train_rays_per_s_chip[{backend}]"
+                          + ("" if args.config == "small"
+                             else f"[{args.config}]"),
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / baseline, 2),

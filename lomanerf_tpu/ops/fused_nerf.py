@@ -295,9 +295,12 @@ def _nerf_train_kernel(
 @functools.lru_cache(maxsize=None)
 def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                      compute_dtype="float32", ablate=""):
-    precision = (
-        jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
-    )
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
 
@@ -413,8 +416,17 @@ def _sublane_iota(shape):
 
 
 def _encode_T(ptsT, E_ref, m_ref, precision):
-    """(PS, rows) encoded points: P = E^T @ pts^T, then masked sin blend."""
-    P = _dot(E_ref[...], ptsT, precision)
+    """(PS, rows) encoded points, then masked sin blend.
+
+    P = E^T @ pts^T is block-sparse (each output sublane is one coordinate
+    times a power of two), so it is computed as three (PS,1)x(1,rows)
+    broadcast multiply-adds on the VPU: exact f32 (each product is a single
+    f32 multiply) and cheaper than the MXU matmul, whose HIGHEST-precision
+    6-pass emulation dominated the encode cost."""
+    E = E_ref[...]
+    P = E[:, 0:1] * ptsT[0:1, :]
+    for k in range(1, 3):
+        P = P + E[:, k : k + 1] * ptsT[k : k + 1, :]
     return m_ref[:, 0:1] * P + m_ref[:, 1:2] * jnp.sin(P + m_ref[:, 2:3])
 
 
@@ -576,9 +588,12 @@ def _nerf_train_kernel_T(
 @functools.lru_cache(maxsize=None)
 def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
                      compute_dtype, n_rays, ablate=""):
-    precision = (
-        jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
-    )
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_T(in_dim, num_functions, ps)
     in_pad = E_np.shape[1]
@@ -686,9 +701,12 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                    compute_dtype, n_rays):
     """Fused loss+grad: loss(w, b, pts, dists, targets) as a custom_vjp whose
     forward pass ALSO produces dW/db (one kernel launch per train step)."""
-    precision = (
-        jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
-    )
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
     kernel = functools.partial(
@@ -774,6 +792,9 @@ def nerf_train_loss(
         compute_dtype = getattr(config, "compute_dtype", "float32")
     if compute_dtype == "bfloat16":
         highest_precision = False
+    elif highest_precision is True:
+        # default True defers to the config's precision tier
+        highest_precision = getattr(config, "precision", "highest")
     widths = [config.in_channels] + [w.shape[1] for w in params["w"]]
     # narrow MLPs dispatch to the transposed layout (features on sublanes:
     # ~3x less VPU elementwise work, 16x cheaper compositing scans) when the

@@ -71,6 +71,7 @@ def main():
         (128, True, "float32", "no_bwd"),
         (128, True, "float32", "no_scans"),
         (128, True, "float32", "no_mlp_bwd"),
+        (128, "high", "float32", ""),
         (128, False, "float32", ""),
         (128, False, "bfloat16", ""),
         (256, True, "float32", ""),
@@ -81,7 +82,7 @@ def main():
                 lambda q: fused_nerf._nerf_train_loss_T(
                     q, o, d, t, di, tg, cfg, R, hp, cdt, 40, ab)
             )(p)
-        timeit(mk, f"T R={R:3d} hp={int(hp)} {cdt:8s} ablate={ab or 'none'}")
+        timeit(mk, f"T R={R:3d} hp={hp} {cdt:8s} ablate={ab or 'none'}")
 
 
 if __name__ == "__main__":
