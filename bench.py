@@ -80,16 +80,16 @@ def main() -> None:
     from lomanerf_tpu.models import NeRFConfig
     from lomanerf_tpu.train.steps import make_single_chip_train_step
 
-    backend = args.backend
-    if backend == "auto":
-        # v5e, 262144 rays/step, back-to-back: fused pallas train kernel
-        # (transposed layout) 3.06 Mrays/s vs XLA-fused jnp 1.65 Mrays/s.
-        from lomanerf_tpu.train.steps import resolve_backend
-
-        backend = resolve_backend(NeRFConfig.small())
-
     cfg = {"small": NeRFConfig.small, "single64": NeRFConfig.single_view_64,
            "full": NeRFConfig.full}[args.config]()
+    backend = args.backend
+    if backend == "auto":
+        # v5e: fused pallas train kernels beat the XLA-fused jnp step across
+        # the config ladder (PERF.md); resolve from the ACTUAL config so any
+        # future config-dependent dispatch is honored.
+        from lomanerf_tpu.train.steps import resolve_backend
+
+        backend = resolve_backend(cfg)
     if not args.rays:
         # keep per-step sample count comparable across the ladder
         args.rays = {"small": 262144, "single64": 65536, "full": 16384}[

@@ -246,8 +246,8 @@ def _nerf_backward_kernel(
 
 
 def _nerf_train_kernel(
-    pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
-    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt, n_rays,
+    nrays_ref, pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
+    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
 ):
     """ONE pass: forward + sum-MSE loss + backward, activations staying in
     VMEM.  Replaces the (forward kernel, remat-backward kernel) pair for the
@@ -274,8 +274,10 @@ def _nerf_train_kernel(
     ray_idx = pl.program_id(0) * R + jax.lax.broadcasted_iota(
         jnp.int32, pred.shape, 0
     )
-    # mask out pad lanes AND pad rays (rays >= n_rays are tile padding)
-    mask = jnp.where((lane_r < 3) & (ray_idx < n_rays), 1.0, 0.0)
+    # mask out pad lanes AND pad rays (rays >= n_rays are tile padding);
+    # n_rays arrives as an SMEM scalar so batch size is NOT baked into the
+    # trace (variable-batch training reuses one compiled kernel)
+    mask = jnp.where((lane_r < 3) & (ray_idx < nrays_ref[0, 0]), 1.0, 0.0)
     diff = (pred - tgt) * mask
 
     @pl.when(pl.program_id(0) == 0)
@@ -475,8 +477,8 @@ def _ray_matrix_T(R, rows, S):
 
 
 def _nerf_train_kernel_T(
-    ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, tgtT_ref,
-    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt, n_rays,
+    nrays_ref, ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, tgtT_ref,
+    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
     ablate="",
 ):
     """Transposed single-pass train kernel: forward + sum-MSE + backward.
@@ -520,7 +522,9 @@ def _nerf_train_kernel_T(
         jnp.int32, tgt.shape, 1
     )
     s_idx = pu._sample_index_lanes(rows, S)
-    valid = (sub8 < 3) & (row_idx < n_rays * S)
+    # n_rays is an SMEM scalar (not baked into the trace): one compiled
+    # kernel serves every batch size that shares a padded tile count
+    valid = (sub8 < 3) & (row_idx < nrays_ref[0, 0] * S)
     diff0 = jnp.where(valid & (s_idx == 0), suf - tgt, 0.0)  # (8, rows)
 
     @pl.when(pl.program_id(0) == 0)
@@ -587,7 +591,7 @@ def _nerf_train_kernel_T(
 
 @functools.lru_cache(maxsize=None)
 def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
-                     compute_dtype, n_rays, ablate=""):
+                     compute_dtype, ablate=""):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
         # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
@@ -599,14 +603,16 @@ def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
     in_pad = E_np.shape[1]
     kernel = functools.partial(
         _nerf_train_kernel_T, L=L, R=R, S=S, mode=mode, precision=precision,
-        cdt=cdt, n_rays=n_rays, ablate=ablate,
+        cdt=cdt, ablate=ablate,
     )
     rows = R * S
 
-    def train_call(w_stack, b_stack, ptsT, distsT, tgtT):
+    def train_call(w_stack, b_stack, ptsT, distsT, tgtT, n_rays):
         n_tiles = ptsT.shape[1] // rows
         w_c = w_stack.astype(cdt)
         in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((in_pad, rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows), lambda i: (0, i),
@@ -641,24 +647,29 @@ def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
                 dimension_semantics=("arbitrary",),
             ),
             interpret=_interpret(),
-        )(ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np), w_c, b_stack,
-          tgtT)
+        )(n_rays, ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np), w_c,
+          b_stack, tgtT)
         return loss[0, 0], dw, db
 
     @jax.custom_vjp
-    def fused_loss(w_stack, b_stack, ptsT, distsT, tgtT):
-        loss, _, _ = train_call(w_stack, b_stack, ptsT, distsT, tgtT)
+    def fused_loss(w_stack, b_stack, ptsT, distsT, tgtT, n_rays):
+        loss, _, _ = train_call(w_stack, b_stack, ptsT, distsT, tgtT, n_rays)
         return loss
 
-    def fused_loss_fwd(w_stack, b_stack, ptsT, distsT, tgtT):
-        loss, dw, db = train_call(w_stack, b_stack, ptsT, distsT, tgtT)
+    def fused_loss_fwd(w_stack, b_stack, ptsT, distsT, tgtT, n_rays):
+        loss, dw, db = train_call(w_stack, b_stack, ptsT, distsT, tgtT,
+                                  n_rays)
         return loss, (dw, db, ptsT.shape, distsT.shape, tgtT.shape)
 
     def fused_loss_bwd(res, g):
+        # data cotangents are structurally zero: the wrapper stop_gradients
+        # the ray inputs (training optimizes params only; see
+        # nerf_train_loss's docstring)
         dw, db, pts_shape, dists_shape, tgt_shape = res
         return (g * dw, g * db, jnp.zeros(pts_shape, jnp.float32),
                 jnp.zeros(dists_shape, jnp.float32),
-                jnp.zeros(tgt_shape, jnp.float32))
+                jnp.zeros(tgt_shape, jnp.float32),
+                np.zeros((1, 1), jax.dtypes.float0))
 
     fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
     return fused_loss
@@ -691,14 +702,15 @@ def _nerf_train_loss_T(
     w_stack, b_stack = pu.stack_padded_params_T(params, ps)
     fused = _make_train_fn_T(
         L, tile_rays, S, ps, 3, config.num_encoding_functions, config.mode,
-        highest_precision, compute_dtype, n, ablate,
+        highest_precision, compute_dtype, ablate,
     )
-    return fused(w_stack, b_stack, ptsT, distsT, tgtT)
+    n_smem = jnp.full((1, 1), n, jnp.int32)
+    return fused(w_stack, b_stack, ptsT, distsT, tgtT, n_smem)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
-                   compute_dtype, n_rays):
+                   compute_dtype):
     """Fused loss+grad: loss(w, b, pts, dists, targets) as a custom_vjp whose
     forward pass ALSO produces dW/db (one kernel launch per train step)."""
     precision = {
@@ -711,14 +723,16 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
     E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
     kernel = functools.partial(
         _nerf_train_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
-        cdt=cdt, n_rays=n_rays,
+        cdt=cdt,
     )
     rows = R * S
 
-    def train_call(w_stack, b_stack, pts_flat, dists_flat, tgt_pad):
+    def train_call(w_stack, b_stack, pts_flat, dists_flat, tgt_pad, n_rays):
         n_tiles = pts_flat.shape[0] // rows
         w_c = w_stack.astype(cdt)
         in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((in_dim, pw), lambda i: (0, 0),
@@ -750,27 +764,30 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                 dimension_semantics=("arbitrary",),
             ),
             interpret=_interpret(),
-        )(pts_flat, dists_flat, jnp.asarray(E_np), jnp.asarray(m_np),
+        )(n_rays, pts_flat, dists_flat, jnp.asarray(E_np), jnp.asarray(m_np),
           w_c, b_stack, tgt_pad)
         return loss[0, 0], dw, db
 
     @jax.custom_vjp
-    def fused_loss(w_stack, b_stack, pts_flat, dists_flat, tgt_pad):
+    def fused_loss(w_stack, b_stack, pts_flat, dists_flat, tgt_pad, n_rays):
         loss, _, _ = train_call(w_stack, b_stack, pts_flat, dists_flat,
-                                tgt_pad)
+                                tgt_pad, n_rays)
         return loss
 
-    def fused_loss_fwd(w_stack, b_stack, pts_flat, dists_flat, tgt_pad):
+    def fused_loss_fwd(w_stack, b_stack, pts_flat, dists_flat, tgt_pad,
+                       n_rays):
         loss, dw, db = train_call(w_stack, b_stack, pts_flat, dists_flat,
-                                  tgt_pad)
+                                  tgt_pad, n_rays)
         return loss, (dw, db, pts_flat.shape, dists_flat.shape,
                       tgt_pad.shape)
 
     def fused_loss_bwd(res, g):
+        # data cotangents structurally zero (see nerf_train_loss docstring)
         dw, db, pts_shape, dists_shape, tgt_shape = res
         return (g * dw, g * db, jnp.zeros(pts_shape, jnp.float32),
                 jnp.zeros(dists_shape, jnp.float32),
-                jnp.zeros(tgt_shape, jnp.float32))
+                jnp.zeros(tgt_shape, jnp.float32),
+                np.zeros((1, 1), jax.dtypes.float0))
 
     fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
     return fused_loss
@@ -783,9 +800,17 @@ def nerf_train_loss(
 ) -> jnp.ndarray:
     """Sum-MSE train loss whose VJP comes from the single fused train
     kernel (forward + compositing + backward in one pass, activations never
-    leaving VMEM).  Differentiable w.r.t. ``params`` only — use under
-    ``jax.value_and_grad`` / ``jax.vjp``; the adjoint seed (the reference's
-    loss-valued ``_dreturn``, train_nerf.py:477) is the VJP cotangent."""
+    leaving VMEM).  Differentiable w.r.t. ``params`` ONLY — the ray inputs
+    (origins/directions/t_vals/dists/target) are stop_gradient'ed here, so
+    differentiating w.r.t. them yields zeros by the documented stop-gradient
+    semantics rather than by a silent kernel omission (pose/camera
+    refinement needs the jnp path).  Use under ``jax.value_and_grad`` /
+    ``jax.vjp``; the adjoint seed (the reference's loss-valued ``_dreturn``,
+    train_nerf.py:477) is the VJP cotangent."""
+    sg = jax.lax.stop_gradient
+    origins, directions, t_vals, dists, target = (
+        sg(origins), sg(directions), sg(t_vals), sg(dists), sg(target)
+    )
     L = len(params["w"])
     S = config.num_samples
     if not compute_dtype:
@@ -842,9 +867,10 @@ def nerf_train_loss(
     w_stack, b_stack = pu.stack_padded_params(params, pw)
     fused = _make_train_fn(
         L, tile_rays, S, pw, 3, config.num_encoding_functions, config.mode,
-        highest_precision, compute_dtype, n,
+        highest_precision, compute_dtype,
     )
-    return fused(w_stack, b_stack, pts_flat, dists_flat, tgt_pad)
+    n_smem = jnp.full((1, 1), n, jnp.int32)
+    return fused(w_stack, b_stack, pts_flat, dists_flat, tgt_pad, n_smem)
 
 
 def render_rays(
@@ -853,12 +879,17 @@ def render_rays(
     compute_dtype: str = "", kw_ablate: str = "",
 ) -> jnp.ndarray:
     """Fused render: (N,3) colors from rays.  Differentiable w.r.t. params
-    (input cotangents are zero — training optimizes params only).
+    ONLY — ray inputs are stop_gradient'ed (training optimizes params; use
+    the jnp path for pose/camera refinement).
 
     ``compute_dtype="bfloat16"`` runs matmuls/activations in bf16 with fp32
     accumulation and compositing — the production mode for MXU-bound wide
     configs; fp32 (optionally HIGHEST precision) is the parity mode.
     """
+    sg = jax.lax.stop_gradient
+    origins, directions, t_vals, dists = (
+        sg(origins), sg(directions), sg(t_vals), sg(dists)
+    )
     L = len(params["w"])
     S = config.num_samples
     if not compute_dtype:

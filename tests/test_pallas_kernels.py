@@ -144,13 +144,19 @@ def test_fused_train_loss_and_grads_match_jax_grad(rng, mode):
 
 
 @pytest.mark.parametrize("mode", ["loma", "standard"])
-def test_fused_train_loss_transposed_layout(rng, mode):
+@pytest.mark.parametrize("num_samples", [8, 30])
+def test_fused_train_loss_transposed_layout(rng, mode, num_samples):
     """The transposed-layout train kernel (auto-dispatched for narrow MLPs
-    at the default tile) matches value_and_grad of the jnp pipeline."""
-    cfg = NeRFConfig(num_samples=8, mode=mode)
+    at the default tile) matches value_and_grad of the jnp pipeline.
+
+    num_samples=30 is the production parity config: it forces the R_T=64
+    lane-alignment tile (30*R % 128 == 0 needs R % 64 == 0) and exercises
+    the shift-doubling segmented scans' partial final shift (S not a power
+    of two)."""
+    cfg = NeRFConfig(num_samples=num_samples, mode=mode)
     params = init_mlp(jax.random.PRNGKey(9), cfg.in_channels, 4,
                       cfg.num_layers, cfg.filter_size)
-    n = 20  # pads to 128 rays: exercises the validity mask heavily
+    n = 20  # not a tile multiple: exercises the validity mask heavily
     o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
     d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
     _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
