@@ -141,6 +141,13 @@ def make_train_step(
     Returns:
         ``step(params, opt_state, batch) -> (params, opt_state, loss)``.
     """
+    if tp and backend == "pallas":
+        # the fused kernels hold the full (padded) weight stack in VMEM per
+        # chip — width-sharded params would silently compute garbage
+        raise ValueError(
+            "backend='pallas' supports data parallelism only (params "
+            "replicated); use backend='jnp' for tensor parallelism"
+        )
     if tp:
         mlp_fn = functools.partial(tp_mlp_apply, head="rgba", axis_name="model")
     else:
@@ -149,12 +156,24 @@ def make_train_step(
     batch_spec = RayBatch(P("data"), P("data"), P("data"), P("data"), P("data"))
 
     def local_step(params, opt_state, batch):
-        def loss_fn(p):
-            pred = render_rays_local(
-                p, batch, config.num_encoding_functions, config.mode, mlp_fn,
-                backend, config,
-            )
-            return losses.sum_mse(pred, batch.target)
+        if backend == "pallas":
+            # production TPU path: the single-pass fused train kernel
+            # (fwd + sum-MSE + bwd in one pallas_call) runs per data shard;
+            # its custom_vjp supplies the per-shard grads that psum reduces
+            def loss_fn(p):
+                from lomanerf_tpu.ops import fused_nerf
+
+                return fused_nerf.nerf_train_loss(
+                    p, batch.origins, batch.directions, batch.t_vals,
+                    batch.dists, batch.target, config,
+                )
+        else:
+            def loss_fn(p):
+                pred = render_rays_local(
+                    p, batch, config.num_encoding_functions, config.mode,
+                    mlp_fn, backend, config,
+                )
+                return losses.sum_mse(pred, batch.target)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # gradient all-reduce over the ray shards (ICI collective — the

@@ -88,6 +88,36 @@ def test_fit_image_driver_smoke(tmp_path):
     assert os.path.exists(tmp_path / "logs_2d" / "metrics.jsonl")
 
 
+def test_train_nerf_driver_smoke_pallas(tmp_path, monkeypatch):
+    """Driver end-to-end on the production pallas path (interpret mode on
+    CPU): the fused train kernel drives real optimization steps."""
+    from lomanerf_tpu.train import train_nerf
+
+    monkeypatch.chdir(tmp_path)
+    train_nerf.main([
+        "--data", "synthetic", "--img-size", "16", "--steps", "8",
+        "--rays-per-batch", "64", "--samples", "8", "--width", "16",
+        "--eval-every", "6", "--backend", "pallas",
+        "--log-dir", str(tmp_path / "logs_3d"),
+        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "0",
+    ])
+    assert os.path.exists(tmp_path / "logs_3d" / "6.png")
+    assert os.path.exists(tmp_path / "logs_3d" / "metrics.jsonl")
+
+
+def test_fit_image_driver_smoke_pallas(tmp_path):
+    from lomanerf_tpu.train import fit_image
+
+    fit_image.main([
+        "--img", "synthetic", "--img-size", "32", "--steps", "20",
+        "--optimizer", "adam", "--lr", "3e-3", "--log-every", "15",
+        "--backend", "pallas",
+        "--log-dir", str(tmp_path / "logs_2d"),
+        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "0",
+    ])
+    assert os.path.exists(tmp_path / "logs_2d" / "iter_15.png")
+
+
 def test_train_nerf_driver_smoke(tmp_path, monkeypatch):
     from lomanerf_tpu.train import train_nerf
 
