@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from lomanerf_tpu.dsl import autodiff as dsl_ad
 from lomanerf_tpu.dsl import check as dsl_check
 from lomanerf_tpu.dsl import ir, parser
+from lomanerf_tpu.dsl import typecheck as dsl_typecheck
 from lomanerf_tpu.dsl.error import UserError
 from lomanerf_tpu.dsl.lower import Lowerer
 
@@ -217,6 +218,7 @@ def compile(
         )
     structs, funcs = parser.parse(code)
     dsl_check.check(structs, funcs)
+    dsl_typecheck.infer(structs, funcs)  # static types + auto int<->float casts
     lowerer = Lowerer(structs, funcs)
     lib = JaxLib()
     cache: Dict[str, dsl_ad.LoweredSpec] = {}

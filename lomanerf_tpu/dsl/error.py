@@ -56,7 +56,60 @@ class CallWithOutArgNotInCallStmt(UserError):
 
 
 class TypeMismatch(UserError):
-    pass
+    """Base of the static type-error family raised by dsl.typecheck
+    (taxonomy mirrors loma_public/error.py:87-186)."""
+
+
+class ArrayAccessTypeMismatch(TypeMismatch):
+    def __init__(self, lineno=None):
+        super().__init__("subscript of a non-array expression", lineno)
+
+
+class StructAccessTypeMismatch(TypeMismatch):
+    def __init__(self, lineno=None):
+        super().__init__("member access on a non-struct expression", lineno)
+
+
+class StructMemberNotFound(TypeMismatch):
+    def __init__(self, member: str, struct: str, lineno=None):
+        self.member = member
+        super().__init__(f"struct '{struct}' has no member '{member}'", lineno)
+
+
+class BinaryOpTypeMismatch(TypeMismatch):
+    def __init__(self, op: str = "", lineno=None):
+        super().__init__(f"operands of '{op}' must be int or float", lineno)
+
+
+class CallTypeMismatch(TypeMismatch):
+    def __init__(self, name: str = "", lineno=None, detail: str = ""):
+        msg = f"argument mismatch calling '{name}'"
+        if detail:
+            msg += f": {detail}"
+        super().__init__(msg, lineno)
+
+
+class ReturnTypeMismatch(TypeMismatch):
+    def __init__(self, lineno=None):
+        super().__init__("returned value does not match the declared return "
+                         "type", lineno)
+
+
+class AssignTypeMismatch(TypeMismatch):
+    def __init__(self, lineno=None):
+        super().__init__("assigned value does not match the target's type",
+                         lineno)
+
+
+class DeclareTypeMismatch(TypeMismatch):
+    def __init__(self, lineno=None):
+        super().__init__("initializer does not match the declared type",
+                         lineno)
+
+
+class IfElseCondTypeMismatch(TypeMismatch):
+    def __init__(self, lineno=None):
+        super().__init__("if/while condition must be int or float", lineno)
 
 
 class UnknownFunction(UserError):

@@ -220,6 +220,193 @@ def f(x : In[float]) -> float:
 
 
 # ---------------------------------------------------------------------------
+# static type inference (dsl/typecheck.py; cf. type_inference.py:34-348) —
+# wrong-typed programs must fail at dsl.compile time with lineno-carrying
+# TypeMismatch errors, never inside a jit trace
+# ---------------------------------------------------------------------------
+
+
+def test_error_binop_on_array():
+    code = """
+def f(x : In[Array[float]]) -> float:
+    y : float = 0.0
+    y = x + 1.0
+    return y
+"""
+    with pytest.raises(dsl_error.BinaryOpTypeMismatch) as ei:
+        dsl.compile(code)
+    assert ei.value.lineno == 4
+
+
+def test_error_subscript_non_array():
+    code = """
+def f(x : In[float]) -> float:
+    return x[0]
+"""
+    with pytest.raises(dsl_error.ArrayAccessTypeMismatch):
+        dsl.compile(code)
+
+
+def test_error_member_access_non_struct():
+    code = """
+def f(x : In[float]) -> float:
+    return x.val
+"""
+    with pytest.raises(dsl_error.StructAccessTypeMismatch):
+        dsl.compile(code)
+
+
+def test_error_struct_member_not_found():
+    code = """
+class Pt:
+    x : float
+    y : float
+
+def f(p : In[Pt]) -> float:
+    return p.z
+"""
+    with pytest.raises(dsl_error.StructMemberNotFound) as ei:
+        dsl.compile(code)
+    assert ei.value.member == "z"
+
+
+def test_error_assign_struct_to_float():
+    code = """
+class Pt:
+    x : float
+
+def f(p : In[Pt]) -> float:
+    y : float = 0.0
+    y = p
+    return y
+"""
+    with pytest.raises(dsl_error.AssignTypeMismatch) as ei:
+        dsl.compile(code)
+    assert ei.value.lineno == 7
+
+
+def test_error_declare_array_from_float():
+    code = """
+def f(x : In[float]) -> float:
+    a : Array[float, 3] = x
+    return x
+"""
+    with pytest.raises(dsl_error.DeclareTypeMismatch):
+        dsl.compile(code)
+
+
+def test_error_return_type_mismatch():
+    code = """
+class Pt:
+    x : float
+
+def f(p : In[Pt]) -> float:
+    return p
+"""
+    with pytest.raises(dsl_error.ReturnTypeMismatch):
+        dsl.compile(code)
+
+
+def test_error_call_arity():
+    code = """
+def g(a : In[float], b : In[float]) -> float:
+    return a + b
+
+def f(x : In[float]) -> float:
+    return g(x)
+"""
+    with pytest.raises(dsl_error.CallTypeMismatch) as ei:
+        dsl.compile(code)
+    assert ei.value.lineno == 6
+
+
+def test_error_intrinsic_arity():
+    code = """
+def f(x : In[float]) -> float:
+    return pow(x)
+"""
+    with pytest.raises(dsl_error.CallTypeMismatch):
+        dsl.compile(code)
+
+
+def test_error_call_array_arg_mismatch():
+    code = """
+def g(a : In[Array[float]]) -> float:
+    return a[0]
+
+def f(x : In[float]) -> float:
+    return g(x)
+"""
+    with pytest.raises(dsl_error.CallTypeMismatch):
+        dsl.compile(code)
+
+
+def test_error_ifelse_cond_struct():
+    code = """
+class Pt:
+    x : float
+
+def f(p : In[Pt]) -> float:
+    y : float = 0.0
+    if p:
+        y = 1.0
+    return y
+"""
+    with pytest.raises(dsl_error.IfElseCondTypeMismatch):
+        dsl.compile(code)
+
+
+def test_auto_casts_match_reference_semantics():
+    """int<->float auto-conversion (type_inference.py:99-155, 218-245):
+    int/int stays integer division (C truncation); mixing promotes to
+    float; float initializer of an int declare truncates."""
+    code = """
+def f(n : In[int]) -> float:
+    half : int = 2.9
+    q : int = n / 2
+    y : float = q
+    z : float = n * 0.5
+    return y + z + half
+"""
+    _, lib = dsl.compile(code)
+    # n=7: q = 3 (trunc), y = 3.0, z = 3.5, half = 2 -> 8.5
+    assert lib.f(7) == pytest.approx(8.5)
+
+
+def test_auto_cast_call_args():
+    code = """
+def g(a : In[float]) -> float:
+    return a * 2.0
+
+def f(n : In[int]) -> float:
+    return g(n) + sin(0) * pow(2, n)
+"""
+    _, lib = dsl.compile(code)
+    assert lib.f(3) == pytest.approx(6.0)
+
+
+def test_sized_array_passes_unbounded_arg():
+    """A locally sized array must be accepted by an unbounded callee arg."""
+    code = """
+def total(a : In[Array[float]], n : In[int]) -> float:
+    s : float = 0.0
+    i : int = 0
+    while (i < n, max_iter := 8):
+        s = s + a[i]
+        i = i + 1
+    return s
+
+def f(x : In[float]) -> float:
+    buf : Array[float, 4]
+    buf[0] = x
+    buf[1] = 2.0
+    return total(buf, 4)
+"""
+    _, lib = dsl.compile(code)
+    assert lib.f(1.5) == pytest.approx(3.5)
+
+
+# ---------------------------------------------------------------------------
 # the reference's own unmodified kernels through our DSL
 # ---------------------------------------------------------------------------
 
