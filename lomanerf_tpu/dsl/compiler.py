@@ -86,6 +86,17 @@ def _writeback(buf, val):
         np.copyto(buf, np.asarray(val).astype(buf.dtype, copy=False))
 
 
+def _accum_into(buf, adj):
+    """Accumulate an adjoint pytree into the caller's numpy buffers —
+    recursing through struct (dict) adjoints, incl. nested _dfloat duals."""
+    if isinstance(buf, np.ndarray):
+        buf += np.asarray(adj).astype(buf.dtype, copy=False)
+    elif isinstance(buf, dict) and isinstance(adj, dict):
+        for k, v in adj.items():
+            if k in buf:
+                _accum_into(buf[k], v)
+
+
 def _make_plain_entry(spec: dsl_ad.LoweredSpec):
     if spec.is_simd:
         @functools.lru_cache(maxsize=8)
@@ -169,17 +180,8 @@ def _make_rev_entry(spec: dsl_ad.LoweredSpec):
             _to_jax(float(dreturn))
         adjoints = jitted(jargs, dret, out_adj)
         for a, buf in zip(spec.args, adj_bufs):
-            if a.id not in adjoints:
-                continue
-            adj = adjoints[a.id]
-            if isinstance(buf, np.ndarray):
-                buf += np.asarray(adj).astype(buf.dtype, copy=False)
-            elif isinstance(buf, dict) and isinstance(adj, dict):
-                for k in ("val", "dval"):
-                    if isinstance(buf.get(k), np.ndarray):
-                        buf[k] += np.asarray(adj[k]).astype(
-                            buf[k].dtype, copy=False
-                        )
+            if a.id in adjoints:
+                _accum_into(buf, adjoints[a.id])
         return adjoints
 
     return entry
@@ -208,9 +210,19 @@ def _resolve_spec(name: str, funcs: Dict[str, ir.Func], lowerer: Lowerer,
 
 
 def compile(
-    code: str, target: str = "jax", output_filename: Optional[str] = None
+    code: str, target: str = "jax", output_filename: Optional[str] = None,
+    loop_slack: int = 0,
 ) -> Tuple[Dict[str, ir.Struct], JaxLib]:
-    """Compile DSL source.  Returns (structs, lib)."""
+    """Compile DSL source.  Returns (structs, lib).
+
+    ``loop_slack`` adds masked extra iterations to every bounded while loop
+    (semantically free).  loma's ``max_iter`` only budgets the reverse TAPE
+    (product over the nest; its C backend runs a true ``while``), so loma
+    programs may exceed a single loop's max_iter — e.g. the reference NeRF
+    kernel's feature loop runs 33 times under ``max_iter := 32``
+    (scripts/nerf.py:85 with in_ch=33, train_nerf.py:199).  Our scan length
+    is a hard per-loop bound; pass loop_slack >= the overrun to run such
+    programs unmodified."""
     if target != "jax":
         raise ValueError(
             f"target {target!r} is not supported by the TPU-native DSL; "
@@ -219,7 +231,7 @@ def compile(
     structs, funcs = parser.parse(code)
     dsl_check.check(structs, funcs)
     dsl_typecheck.infer(structs, funcs)  # static types + auto int<->float casts
-    lowerer = Lowerer(structs, funcs)
+    lowerer = Lowerer(structs, funcs, loop_slack=loop_slack)
     lib = JaxLib()
     cache: Dict[str, dsl_ad.LoweredSpec] = {}
     for name, f in funcs.items():

@@ -7,11 +7,16 @@ forward/reverse differentiation with exactly loma's semantics:
 
 * mutable locals/arrays -> an environment pytree threaded through statements
   (array writes are functional ``.at[...].set``),
-* ``if/else`` -> evaluate both branches, ``where``-select (single traced
-  program, same adjoint behavior as loma's per-branch reversal),
-* bounded ``while (cond, max_iter := N)`` -> ``lax.scan`` over N masked
-  iterations; the scan carry IS loma's statically-sized tape
-  (reverse_diff.py:444-461) — same max_iter discipline, same memory bound,
+* ``if/else`` -> ``lax.cond`` over the env carry: both branches are traced
+  once but only the TAKEN branch executes — loma's exact semantics (an
+  untaken branch that would divide by zero or index out of bounds has no
+  effect on values or adjoints; reverse-mode reverses per-branch,
+  reverse_diff.py:618-625),
+* bounded ``while (cond, max_iter := N)`` -> ``lax.scan`` over N iterations
+  whose body runs under ``lax.cond(pred, body, identity)`` — iterations
+  past the dynamic trip count are skipped, not masked-and-discarded; the
+  scan carry IS loma's statically-sized tape (reverse_diff.py:444-461) —
+  same max_iter discipline, same memory bound,
 * ``@simd`` bodies -> ``lax.scan`` over thread ids with shared buffers in
   the carry (sequentialized threads: deterministic, race-free, and the
   adjoint of ``atomic_add`` accumulation falls out of scan's VJP — the role
@@ -71,10 +76,11 @@ def _set_path(container, path, new_value):
     return jax.tree.map(lambda a, s: a.at[key].set(s), container, sub)
 
 
-def _select_env(pred, env_true: Dict, env_false: Dict) -> Dict:
-    return jax.tree.map(
-        lambda a, b: jnp.where(pred, a, b), env_true, env_false
-    )
+def _as_bool(pred):
+    """loma conditions are int/float (nonzero = true) or comparisons."""
+    if hasattr(pred, "dtype") and pred.dtype == jnp.bool_:
+        return pred
+    return pred != 0
 
 
 _BUILTIN_FNS = {
@@ -88,9 +94,19 @@ _BUILTIN_FNS = {
 
 class Lowerer:
     def __init__(self, structs: Dict[str, ir.Struct],
-                 funcs: Dict[str, ir.Func]):
+                 funcs: Dict[str, ir.Func], loop_slack: int = 0):
         self.structs = structs
         self.funcs = funcs
+        # loma's ``max_iter`` budgets the reverse-mode TAPE as the product
+        # over the loop nest — its C backend emits a true ``while``, so a
+        # single loop may legally exceed its own max_iter as long as the
+        # nest's total work stays within the product (the reference's NeRF
+        # kernel does exactly this: ``k < layer_input_w`` with
+        # layer_input_w=33 under ``max_iter := 32``, scripts/nerf.py:85).
+        # Our scan length IS the bound, so such programs request extra
+        # masked iterations explicitly via ``loop_slack`` (semantically
+        # free: a false condition leaves the env unchanged).
+        self.loop_slack = loop_slack
 
     # -- expressions --------------------------------------------------------
 
@@ -236,10 +252,23 @@ class Lowerer:
         if isinstance(s, ir.Return):
             return {**env, "__ret__": self.eval_expr(s.val, env)}
         if isinstance(s, ir.IfElse):
-            pred = self.eval_expr(s.cond, env)
-            env_t = self.exec_stmts(s.then_stmts, env)
-            env_f = self.exec_stmts(s.else_stmts, env)
-            return _select_env(pred, env_t, env_f)
+            # lax.cond: both branches traced, only the taken one executes —
+            # matching loma's taken-branch-only values AND adjoints (an
+            # untaken 1/0 or sqrt(-x) cannot NaN the gradient)
+            pred = _as_bool(self.eval_expr(s.cond, env))
+            keys = sorted(env.keys())
+
+            def _branch(stmts):
+                def fn(carry):
+                    e = self.exec_stmts(stmts, dict(zip(keys, carry)))
+                    return tuple(e[k] for k in keys)
+                return fn
+
+            carry = jax.lax.cond(
+                pred, _branch(s.then_stmts), _branch(s.else_stmts),
+                tuple(env[k] for k in keys),
+            )
+            return dict(zip(keys, carry))
         if isinstance(s, ir.While):
             return self._exec_while(s, env)
         if isinstance(s, ir.CallStmt):
@@ -263,15 +292,20 @@ class Lowerer:
         keys = sorted(env.keys())
         carry0 = tuple(env[k] for k in keys)
 
-        def body(carry, _):
-            env_c = dict(zip(keys, carry))
-            pred = self.eval_expr(s.cond, env_c)
-            env_n = self.exec_stmts(s.body, dict(env_c))
-            env_m = _select_env(pred, {k: env_n[k] for k in keys},
-                                {k: env_c[k] for k in keys})
-            return tuple(env_m[k] for k in keys), None
+        def run_body(carry):
+            e = self.exec_stmts(s.body, dict(zip(keys, carry)))
+            return tuple(e[k] for k in keys)
 
-        carry, _ = jax.lax.scan(body, carry0, None, length=s.max_iter)
+        def body(carry, _):
+            pred = _as_bool(self.eval_expr(s.cond, dict(zip(keys, carry))))
+            # iterations past the dynamic trip count are SKIPPED (lax.cond),
+            # not masked-and-discarded: no compute and no NaN-able adjoints
+            # from out-of-range reads, exactly like loma's runtime while
+            return jax.lax.cond(pred, run_body, lambda c: c, carry), None
+
+        carry, _ = jax.lax.scan(
+            body, carry0, None, length=s.max_iter + self.loop_slack
+        )
         return dict(zip(keys, carry))
 
     def _coerce(self, val, t: ir.Type):

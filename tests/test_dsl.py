@@ -220,6 +220,138 @@ def f(x : In[float]) -> float:
 
 
 # ---------------------------------------------------------------------------
+# reverse-mode AD breadth (cf. hw_tests/hw2 + hw3/test.py:61-449): nested
+# loops, branches with side effects, struct adjoints, taken-branch-only
+# control-flow semantics
+# ---------------------------------------------------------------------------
+
+
+def test_rev_three_level_nested_loop():
+    """3-level nested while reversal (hw3's loop stress shape): the adjoint
+    must see every executed iteration of the data-dependent trip counts."""
+    code = """
+def f(x : In[float], n : In[int]) -> float:
+    i : int = 0
+    j : int = 0
+    k : int = 0
+    z : float = 0.0
+    while (i < n, max_iter := 4):
+        j = 0
+        while (j < i + 1, max_iter := 4):
+            k = 0
+            while (k < j + 1, max_iter := 4):
+                z = z + x * x
+                k = k + 1
+            j = j + 1
+        i = i + 1
+    return z
+
+d_f = rev_diff(f)
+"""
+    _, lib = dsl.compile(code)
+    # trip count: sum_{i<n} sum_{j<=i} (j+1) iterations; n=3 -> 1+ (1+2) + (1+2+3) = 10
+    x = 1.7
+    dx = np.zeros((), np.float32)
+    lib.d_f(x, dx, 3, np.zeros((), np.int32), 1.0)
+    np.testing.assert_allclose(dx, 10 * 2 * x, rtol=1e-5)
+
+
+def test_rev_if_with_side_effects():
+    """Branches that WRITE to an Out arg: adjoints flow through the taken
+    branch only (reverse_diff.py:618-625)."""
+    code = """
+def f(x : In[float], y : Out[float]):
+    if x > 1.0:
+        y = x * x * x
+    else:
+        y = 5.0 * x
+
+d_f = rev_diff(f)
+"""
+    _, lib = dsl.compile(code)
+    for x, want in [(2.0, 3 * 4.0), (0.5, 5.0)]:
+        dx = np.zeros((), np.float32)
+        dy = np.asarray(0.3, np.float32)  # incoming cotangent for the Out arg
+        lib.d_f(x, dx, np.zeros((), np.float32), dy)
+        np.testing.assert_allclose(dx, 0.3 * want, rtol=1e-5)
+
+
+def test_rev_struct_adjoints():
+    """Struct-valued inputs accumulate per-field adjoints."""
+    code = """
+class Pt:
+    x : float
+    y : float
+
+def f(p : In[Pt], q : In[float]) -> float:
+    return p.x * p.y + sin(p.x) * q
+
+d_f = rev_diff(f)
+"""
+    _, lib = dsl.compile(code)
+    px, py, q = 0.8, -1.2, 2.0
+    dp = {"x": np.zeros((), np.float32), "y": np.zeros((), np.float32)}
+    dq = np.zeros((), np.float32)
+    lib.d_f({"x": px, "y": py}, dp, q, dq, 1.0)
+    np.testing.assert_allclose(dp["x"], py + np.cos(px) * q, rtol=1e-5)
+    np.testing.assert_allclose(dp["y"], px, rtol=1e-5)
+    np.testing.assert_allclose(dq, np.sin(px), rtol=1e-5)
+
+
+def test_ifelse_untaken_branch_cannot_nan():
+    """Taken-branch-only semantics (lax.cond lowering): an untaken branch
+    whose derivative is undefined (sqrt at a negative input, 1/x at zero)
+    must not poison the primal or the adjoint — exactly loma's behavior,
+    where the untaken branch never executes."""
+    code = """
+def f(x : In[float]) -> float:
+    y : float = 0.0
+    if x > 0.0:
+        y = sqrt(x)
+    else:
+        y = 1.0 / (x - 1.0) + 0.0 - x
+    return y
+
+d_f = rev_diff(f)
+"""
+    _, lib = dsl.compile(code)
+    # x = -1: sqrt branch untaken (its adjoint at -1 would be NaN)
+    dx = np.zeros((), np.float32)
+    lib.d_f(-1.0, dx, 1.0)
+    np.testing.assert_allclose(dx, -1.0 / 4.0 - 1.0, rtol=1e-5)
+    assert np.isfinite(dx)
+    # x = 1: the 1/(x-1) branch untaken (it would divide by zero)
+    dx = np.zeros((), np.float32)
+    lib.d_f(1.0, dx, 1.0)
+    np.testing.assert_allclose(dx, 0.5, rtol=1e-5)
+    assert np.isfinite(dx)
+
+
+def test_while_skipped_iterations_cannot_nan():
+    """Iterations beyond the dynamic trip count are skipped (lax.cond in the
+    scan body), so an expression that would be singular at the stale loop
+    state cannot contaminate gradients."""
+    code = """
+def f(x : In[float], n : In[int]) -> float:
+    i : int = 0
+    z : float = 1.0
+    while (i < n, max_iter := 8):
+        z = z * x / (2.0 - z)
+        i = i + 1
+    return z
+
+d_f = rev_diff(f)
+"""
+    _, lib = dsl.compile(code)
+    # n=1: z goes 1 -> x/(2-1) = x; further iterations (skipped) would hit
+    # division by (2 - z) == 0 at x == 2
+    dx = np.zeros((), np.float32)
+    lib.d_f(2.0, dx, 1, np.zeros((), np.int32), 1.0)
+    np.testing.assert_allclose(dx, 1.0, rtol=1e-5)
+    assert np.isfinite(dx)
+
+
+# ---------------------------------------------------------------------------
 # static type inference (dsl/typecheck.py; cf. type_inference.py:34-348) —
 # wrong-typed programs must fail at dsl.compile time with lineno-carrying
 # TypeMismatch errors, never inside a jit trace
@@ -496,6 +628,99 @@ def test_reference_mlp_fit_through_dsl(rng):
         np.testing.assert_allclose(
             d["bs"][i, : g.shape[0]], np.asarray(g), rtol=2e-4, atol=2e-5
         )
+
+
+def test_reference_nerf_through_dsl(rng):
+    """Compile /root/reference/scripts/nerf.py UNMODIFIED — the 305-line,
+    21-arg full NeRF kernel (nested bounded loops, reshape-by-loop, the dead
+    shifted-write, inclusive-cumprod compositing) — and check the loss and
+    reverse-mode gradients (weights, biases, AND encoded-point inputs)
+    against core.pipeline.nerf_loss on the parity MLP (33->30->30->4).
+
+    loop_slack=1: the reference's feature loop runs 33 iterations under
+    ``max_iter := 32`` (scripts/nerf.py:85; legal in loma, where max_iter
+    only budgets the tape — see dsl.compile's docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lomanerf_tpu.core import params_from_numpy
+    from lomanerf_tpu.core.pipeline import nerf_loss
+
+    code = _reference_source("nerf")
+    _, lib = dsl.compile(code, loop_slack=1)
+
+    n_rays, S, in_ch = 2, 4, 33
+    sizes = [(33, 30), (30, 30), (30, 4)]
+    ws = [rng.standard_normal(s).astype(np.float32) * 0.3 for s in sizes]
+    bs = [rng.standard_normal(s[1]).astype(np.float32) * 0.1 for s in sizes]
+    rows = n_rays * S
+    enc = rng.standard_normal((rows, in_ch)).astype(np.float32)
+    target = rng.random((n_rays, 3)).astype(np.float32)
+    t = np.linspace(2.0, 6.0, S).astype(np.float32)
+    dists = np.tile(np.concatenate([t[1:] - t[:-1], [1e8]]),
+                    (n_rays, 1)).astype(np.float32)
+
+    # padded dense layouts (the reference host's pad_array discipline,
+    # mlp_utils.py:272-313)
+    ws_p = np.zeros((3, 33, 30), np.float32)
+    bs_p = np.zeros((3, 30), np.float32)
+    for i, (w, b) in enumerate(zip(ws, bs)):
+        ws_p[i, : w.shape[0], : w.shape[1]] = w
+        bs_p[i, : b.shape[0]] = b
+    ws_shape = np.array([w.shape for w in ws], np.int32)
+    bs_shape = np.array([[len(b), 1] for b in bs], np.int32)
+    inter_shapes = np.array([[rows, s[1]] for s in sizes], np.int32)
+    inter = np.zeros((3, rows, 30), np.float32)
+    rgba = np.zeros((n_rays, S, 4), np.float32)
+    alpha = np.zeros((n_rays, S), np.float32)
+    cumprod = np.zeros((n_rays, S), np.float32)
+    wsamp = np.zeros((n_rays, S), np.float32)
+    color = np.zeros((n_rays, 3), np.float32)
+
+    def fwd_args():
+        return (enc.copy(), rows, in_ch, ws_p.copy(), bs_p.copy(),
+                target.copy(), n_rays, 3, 3, ws_shape.copy(),
+                bs_shape.copy(), inter_shapes.copy(), np.zeros_like(inter),
+                np.zeros_like(rgba), S, dists.copy(), np.zeros_like(alpha),
+                np.zeros_like(cumprod), np.zeros_like(wsamp),
+                np.zeros_like(color))
+
+    loss = lib.nerf_evaluate_and_march(*fwd_args())
+
+    params = params_from_numpy(ws, bs)
+    enc3 = jnp.asarray(enc.reshape(n_rays, S, in_ch))
+    want_loss, vjp = jax.vjp(
+        lambda p, e: nerf_loss(p, e, jnp.asarray(dists), jnp.asarray(target),
+                               mode="loma"),
+        params, enc3,
+    )
+    np.testing.assert_allclose(loss, float(want_loss), rtol=1e-4)
+
+    # reverse mode: interleaved (value, adjoint) convention + seeded _dreturn
+    seed = 0.37
+    vals = fwd_args()
+    adjs = []
+    for v in vals:
+        if isinstance(v, np.ndarray):
+            adjs.append(np.zeros_like(v))
+        else:
+            adjs.append(np.zeros((), np.int32))
+    inter_args = [x for pair in zip(vals, adjs) for x in pair]
+    lib.grad_nerf_evaluate_and_march(*inter_args, seed)
+
+    gp, ge = vjp(jnp.asarray(seed, jnp.float32))
+    d_enc, d_ws, d_bs = adjs[0], adjs[3], adjs[4]
+    for i, g in enumerate(gp["w"]):
+        np.testing.assert_allclose(
+            d_ws[i, : g.shape[0], : g.shape[1]], np.asarray(g),
+            rtol=3e-4, atol=3e-5,
+        )
+    for i, g in enumerate(gp["b"]):
+        np.testing.assert_allclose(d_bs[i, : g.shape[0]], np.asarray(g),
+                                   rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        d_enc, np.asarray(ge).reshape(rows, in_ch), rtol=3e-4, atol=3e-5
+    )
 
 
 def test_reference_mult_a_b_through_dsl(rng):
