@@ -544,6 +544,22 @@ def _nerf_train_kernel_T(
         dcol8 = 2.0 * diff0
     else:
         dcol8 = 2.0 * pu.seg_broadcast_first_lanes(diff0, S)  # (8, rows)
+    _bwd_from_dcol_T(dcol8, acts, rgba, distsT, (sigma, alpha, c, P, T, w),
+                     w_ref, dw_ref, db_ref, L=L, S=S, mode=mode,
+                     precision=precision, cdt=cdt, ablate=ablate)
+
+
+def _bwd_from_dcol_T(
+    dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
+    *, L, S, mode, precision, cdt, ablate="",
+):
+    """Shared transposed backward: from per-row color cotangents ``dcol8``
+    (8, rows; sublanes 0..2 real, already broadcast across each ray's
+    samples) and the in-VMEM forward state, accumulate dW^T/db across the
+    sequential grid."""
+    sigma, alpha, c, P, T, w = comp
+    ps = rgba.shape[0]
+    rows = rgba.shape[1]
     d_w = (
         dcol8[0:1] * rgba[0:1]
         + dcol8[1:2] * rgba[1:2]
@@ -587,6 +603,145 @@ def _nerf_train_kernel_T(
         if l > 0:
             d_h = _dot_tt(w_ref[l].astype(cdt), d_z_c, precision)
             d_z = d_h * (h_prev.astype(jnp.float32) > 0).astype(jnp.float32)
+
+
+def _nerf_forward_kernel_T(
+    ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
+    *, L, S, mode, precision, cdt,
+):
+    """Transposed render forward: writes the (8, rows) segmented suffix sum
+    of weighted colors — the lane at each ray's s == 0 holds its color
+    (sublanes 0..2); the wrapper gathers those lanes in XLA."""
+    enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    w = _composite_fwd_T(rgba, distsT_ref[...], S, mode)[-1]
+    out_ref[...] = pu.seg_suffix_sum_lanes((rgba * w)[:8, :], S)
+
+
+def _nerf_backward_kernel_T(
+    ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, dcolT_ref,
+    dw_ref, db_ref, *, L, S, mode, precision, cdt,
+):
+    """Transposed remat backward for the render path: recompute the tile's
+    forward in VMEM, then run the shared transposed adjoint walk.  dcolT is
+    (8, rows): each ray's color cotangent replicated across its samples."""
+    enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    distsT = distsT_ref[...]
+    comp = _composite_fwd_T(rgba, distsT, S, mode)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    _bwd_from_dcol_T(dcolT_ref[...], acts, rgba, distsT, comp, w_ref,
+                     dw_ref, db_ref, L=L, S=S, mode=mode,
+                     precision=precision, cdt=cdt)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
+                       highest_prec, compute_dtype="float32"):
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
+    cdt = jnp.dtype(compute_dtype)
+    E_np, m_np = pu.build_encoding_consts_T(in_dim, num_functions, ps)
+    in_pad = E_np.shape[1]
+    fwd_kernel = functools.partial(
+        _nerf_forward_kernel_T, L=L, S=S, mode=mode, precision=precision,
+        cdt=cdt,
+    )
+    bwd_kernel = functools.partial(
+        _nerf_backward_kernel_T, L=L, S=S, mode=mode, precision=precision,
+        cdt=cdt,
+    )
+    rows = R * S
+
+    def common_in_specs():
+        return [
+            pl.BlockSpec((in_pad, rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, in_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def forward(w_stack, b_stack, ptsT, distsT):
+        n_tiles = ptsT.shape[1] // rows
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(n_tiles,),
+            in_specs=common_in_specs(),
+            out_specs=pl.BlockSpec((8, rows), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, ptsT.shape[1]), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np),
+          w_stack.astype(cdt), b_stack)
+
+    def backward(w_stack, b_stack, ptsT, distsT, dcolT):
+        n_tiles = ptsT.shape[1] // rows
+        in_specs = common_in_specs() + [
+            pl.BlockSpec((8, rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ps, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
+                jax.ShapeDtypeStruct((ps, L), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np),
+          w_stack.astype(cdt), b_stack, dcolT)
+
+    @jax.custom_vjp
+    def render(w_stack, b_stack, ptsT, distsT):
+        return forward(w_stack, b_stack, ptsT, distsT)
+
+    def render_fwd(w_stack, b_stack, ptsT, distsT):
+        out = forward(w_stack, b_stack, ptsT, distsT)
+        return out, (w_stack, b_stack, ptsT, distsT)
+
+    def render_bwd(res, d_out):
+        w_stack, b_stack, ptsT, distsT = res
+        total = d_out.shape[1]
+        # the wrapper reads only sublanes 0..2 at each ray's s == 0 lane;
+        # broadcast those cotangents across each ray's samples for the
+        # kernel's adjoint walk (and zero everything else)
+        sub = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 0)
+        d0 = jnp.where(sub < 3, d_out, 0.0).reshape(8, total // S, S)[..., 0]
+        dcolT = jnp.repeat(d0, S, axis=1)
+        dw, db = backward(w_stack, b_stack, ptsT, distsT, dcolT)
+        return dw, db, jnp.zeros_like(ptsT), jnp.zeros_like(distsT)
+
+    render.defvjp(render_fwd, render_bwd)
+    return render
 
 
 @functools.lru_cache(maxsize=None)
@@ -683,17 +838,9 @@ def _nerf_train_loss_T(
     L = len(params["w"])
     S = config.num_samples
     n = origins.shape[0]
-    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
-
-    def pad_rays(x):
-        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
-
-    o = pad_rays(origins.astype(jnp.float32))
-    d = pad_rays(directions.astype(jnp.float32))
-    t = pad_rays(t_vals.astype(jnp.float32))
-    pts = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(n_pad * S, 3)
-    ptsT = jnp.pad(pts.T, ((0, 5), (0, 0)))  # (8, rows)
-    distsT = pad_rays(dists.astype(jnp.float32)).reshape(1, n_pad * S)
+    ptsT, distsT, n_pad, pad_rays = _transposed_ray_layout(
+        origins, directions, t_vals, dists, S, tile_rays
+    )
     # per-ray targets replicated across samples: (8, rows) so the kernel's
     # loss/cotangent math stays in the transposed lane layout
     tgt_rows = jnp.repeat(pad_rays(target.astype(jnp.float32)), S, axis=0)
@@ -793,6 +940,42 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
     return fused_loss
 
 
+def _pick_tile_T(S, ps, L, itemsize, n_bufs=6,
+                 vmem_budget=6 * 1024 * 1024) -> int:
+    """Ray tile for the transposed kernels: smallest tile whose lane dim
+    (rows = R*S) is 128-aligned, then grown while the conservative VMEM
+    model fits (Mosaic's real live set measured ~2x the bare activation
+    estimate on v5e, so the budget stays well under the ~16 MB physical).
+    Returns 0 when even the smallest aligned tile does not fit."""
+    R_T = 8
+    while (R_T * S) % 128:
+        R_T += 8
+
+    def est(r):
+        return r * S * ps * itemsize * (L + n_bufs)
+
+    while R_T < 1024 and est(R_T * 2) <= vmem_budget:
+        R_T *= 2
+    return R_T if est(R_T) <= vmem_budget else 0
+
+
+def _transposed_ray_layout(origins, directions, t_vals, dists, S, tile_rays):
+    """Pad rays to the tile, build (8, rows) pts^T and (1, rows) dists^T."""
+    n = origins.shape[0]
+    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+    o = pad_rays(origins.astype(jnp.float32))
+    d = pad_rays(directions.astype(jnp.float32))
+    t = pad_rays(t_vals.astype(jnp.float32))
+    pts = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(n_pad * S, 3)
+    ptsT = jnp.pad(pts.T, ((0, 5), (0, 0)))  # (8, rows)
+    distsT = pad_rays(dists.astype(jnp.float32)).reshape(1, n_pad * S)
+    return ptsT, distsT, n_pad, pad_rays
+
+
 def nerf_train_loss(
     params, origins, directions, t_vals, dists, target, config,
     tile_rays: int = 0, highest_precision: bool = True,
@@ -827,19 +1010,8 @@ def nerf_train_loss(
     ps = pu.round_up(max(max(widths), 8), 8)
     itemsize = 2 if compute_dtype == "bfloat16" else 4
     if ps <= 64 and tile_rays == 0:
-        # smallest ray tile whose (rows = R*S) lane dim is 128-aligned, then
-        # grow while the conservative VMEM model fits (Mosaic's real live set
-        # measured ~2x the bare activation estimate, so budget 6 MB)
-        R_T = 8
-        while (R_T * S) % 128:
-            R_T += 8
-
-        def vmem_est(r):
-            return r * S * ps * itemsize * (L + 6)
-
-        while R_T < 1024 and vmem_est(R_T * 2) <= 6 * 1024 * 1024:
-            R_T *= 2
-        if vmem_est(R_T) <= 6 * 1024 * 1024:
+        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=6)
+        if R_T:
             return _nerf_train_loss_T(
                 params, origins, directions, t_vals, dists, target, config,
                 R_T, highest_precision, compute_dtype, ps,
@@ -899,9 +1071,27 @@ def render_rays(
         # ("Bad lhs type"); bf16 is single-pass by definition
         highest_precision = False
     widths = [config.in_channels] + [w.shape[1] for w in params["w"]]
+    ps = pu.round_up(max(max(widths), 8), 8)
+    itemsize = 2 if compute_dtype == "bfloat16" else 4
+    if ps <= 64 and tile_rays == 0 and not kw_ablate:
+        # narrow MLPs: transposed layout (features on sublanes) — same
+        # structural win as the train kernel (PERF.md "transposed layout")
+        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=5)
+        if R_T:
+            n = origins.shape[0]
+            ptsT, distsT, n_pad, _ = _transposed_ray_layout(
+                origins, directions, t_vals, dists, S, R_T
+            )
+            w_stack, b_stack = pu.stack_padded_params_T(params, ps)
+            render = _make_render_fns_T(
+                L, R_T, S, ps, 3, config.num_encoding_functions,
+                config.mode, highest_precision, compute_dtype,
+            )
+            out8 = render(w_stack, b_stack, ptsT, distsT)  # (8, n_pad*S)
+            colors = out8[:3].reshape(3, n_pad, S)[..., 0].T
+            return colors[:n]
     pw = pu.round_up(max(widths + [128]), 128)
     if not tile_rays:
-        itemsize = 2 if compute_dtype == "bfloat16" else 4
         tile_rays = pu.pick_tile_rays(S, pw, n_live_buffers=L + 4,
                                       itemsize=itemsize)
     n = origins.shape[0]

@@ -175,6 +175,39 @@ def test_fused_train_loss_transposed_layout(rng, mode, num_samples):
                                    rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+@pytest.mark.parametrize("num_samples", [8, 30])
+def test_fused_render_transposed_layout(rng, mode, num_samples):
+    """The transposed render/eval kernel (auto-dispatched for narrow MLPs at
+    the default tile) matches the jnp core forward AND its remat backward
+    matches jax.grad — the eval-path port of the transposed train layout."""
+    cfg = NeRFConfig(num_samples=num_samples, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(11), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20  # not a tile multiple
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    got = fused_nerf.render_rays(params, o, d, t, dists, cfg)
+    want = nerf_render_rays(params, o, d, t, dists,
+                            cfg.num_encoding_functions, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=1e-5)
+
+    got_g = jax.grad(
+        lambda p: fused_nerf.nerf_loss(p, o, d, t, dists, target, cfg)
+    )(params)
+    want_g = jax.grad(
+        lambda p: nerf_loss_rays(p, o, d, t, dists, target,
+                                 cfg.num_encoding_functions, mode)
+    )(params)
+    for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
 def test_fused_field_forward_and_grads(rng):
     """2D image-fit kernel vs core: sigmoid MLP over encoded coords."""
     from lomanerf_tpu.core.pipeline import image_fit_loss, image_fit_pred
