@@ -23,6 +23,7 @@ from lomanerf_tpu.core.pipeline import (  # noqa: F401
     seeded_value_and_grad,
 )
 from lomanerf_tpu.core.rays import (  # noqa: F401
+    generate_random_rays,
     get_rays,
     normalized_intrinsics,
     sample_along_rays,

@@ -92,3 +92,46 @@ def sample_along_rays(
         [t[..., 1:] - t[..., :-1], jnp.full_like(t[..., :1], 1e8)], axis=-1
     )
     return points, t, dists
+
+
+def generate_random_rays(
+    key: jax.Array,
+    image_size: Tuple[int, int],
+    num_rays: int,
+    cameras: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random-pixel ray sampler with UNIT-normalized directions.
+
+    Capability parity with the reference's alternative sampler
+    (ray_sampling.py:4-41 — unused by its trainers, which use the
+    unnormalized ``get_rays``): per camera, sample ``num_rays`` random
+    pixels, build center-offset camera-space directions, normalize, rotate
+    into world space; origins are the camera translations.
+
+    Args:
+        key: PRNG key (replaces the reference's global numpy RNG).
+        image_size: (W, H).
+        num_rays: rays per camera.
+        cameras: (C, 4, 4) camera-to-world transforms.
+
+    Returns:
+        ``(origins, directions)``, each ``(C*num_rays, 3)``; directions are
+        unit length.
+    """
+    cameras = jnp.asarray(cameras, jnp.float32)
+    c = cameras.shape[0]
+    kx, ky = jax.random.split(key)
+    px = jax.random.randint(kx, (c, num_rays), 0, image_size[0])
+    py = jax.random.randint(ky, (c, num_rays), 0, image_size[1])
+    dirs = jnp.stack(
+        [
+            (px - image_size[0] / 2.0) / image_size[0],
+            (py - image_size[1] / 2.0) / image_size[1],
+            -jnp.ones_like(px, dtype=jnp.float32),
+        ],
+        axis=-1,
+    )  # (C, N, 3)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.einsum("cij,cnj->cni", cameras[:, :3, :3], dirs)
+    origins = jnp.broadcast_to(cameras[:, None, :3, 3], dirs.shape)
+    return origins.reshape(-1, 3), dirs.reshape(-1, 3)

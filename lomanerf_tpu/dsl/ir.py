@@ -66,6 +66,26 @@ class Diff:
 Type = Union[Int, Float, Array, Struct, Diff]
 
 
+def diff_type(t: "Type") -> "Type":
+    """Resolve ``Diff[T]`` structurally (autodiff.py:42-112's
+    type_to_diff_type): floats become the primitive dual ``Diff[float]``
+    ({val, dval}); ints are their own diff type; arrays/structs map
+    elementwise — ``Diff[Struct]`` is the struct-of-duals ``_dStruct``, so
+    DSL code can write ``d_c.mass.val`` like loma."""
+    if isinstance(t, Float):
+        return Diff(t)
+    if isinstance(t, Int):
+        return t
+    if isinstance(t, Array):
+        return Array(diff_type(t.elem), t.static_size)
+    if isinstance(t, Struct):
+        return Struct("_d" + t.name,
+                      tuple((f, diff_type(ft)) for f, ft in t.fields))
+    if isinstance(t, Diff):
+        return t
+    raise TypeError(f"no diff type for {t}")
+
+
 # ---------------------------------------------------------------------------
 # expressions / statements / functions
 # ---------------------------------------------------------------------------

@@ -83,6 +83,41 @@ def _as_bool(pred):
     return pred != 0
 
 
+def _dual_split(t: ir.Type, v):
+    """Split a diff-typed VALUE of primal type ``t`` (struct-of-duals, the
+    loma _dStruct layout) into (primal, tangent) trees.  Int leaves get
+    float0 tangents so ``jax.jvp`` accepts them."""
+    import numpy as np
+
+    if isinstance(t, ir.Float):
+        return v["val"], v["dval"]
+    if isinstance(t, ir.Int):
+        return v, np.zeros(getattr(v, "shape", ()), jax.dtypes.float0)
+    if isinstance(t, ir.Array):
+        return _dual_split(t.elem, v)  # arrays-of-structs are struct-of-arrays
+    if isinstance(t, ir.Struct):
+        vals, tans = {}, {}
+        for f, ft in t.fields:
+            vals[f], tans[f] = _dual_split(ft, v[f])
+        return vals, tans
+    if isinstance(t, ir.Diff):
+        return v["val"], v["dval"]
+    raise TypeMismatch(f"cannot split dual of type {t}")
+
+
+def _dual_merge(t: ir.Type, val, tan):
+    """Inverse of :func:`_dual_split`: rebuild the struct-of-duals value."""
+    if isinstance(t, (ir.Float, ir.Diff)):
+        return {"val": val, "dval": tan}
+    if isinstance(t, ir.Int):
+        return val
+    if isinstance(t, ir.Array):
+        return _dual_merge(t.elem, val, tan)
+    if isinstance(t, ir.Struct):
+        return {f: _dual_merge(ft, val[f], tan[f]) for f, ft in t.fields}
+    raise TypeMismatch(f"cannot merge dual of type {t}")
+
+
 _BUILTIN_FNS = {
     "sin": jnp.sin,
     "cos": jnp.cos,
@@ -210,21 +245,59 @@ class Lowerer:
 
     def _call_user(self, e: ir.Call, env: Dict):
         callee = self.funcs[e.id]
-        if not isinstance(callee, ir.FunctionDef):
+        arg_vals = [self.eval_expr(a, env) for a in e.args]
+        if isinstance(callee, ir.FunctionDef):
+            ret, finals = self.run_function(
+                callee, arg_vals, thread_id=env.get("__thread_id__")
+            )
+            arg_defs = callee.args
+        elif isinstance(callee, ir.ForwardDiff):
+            ret, finals = self._call_fwd_diff(callee, arg_vals, env)
+            arg_defs = self.funcs[callee.primal_func].args
+        else:
             raise UserError(
-                f"cannot call differentiated declaration '{e.id}' directly "
+                f"cannot call rev_diff declaration '{e.id}' directly "
                 "from DSL code", e.lineno,
             )
-        arg_vals = [self.eval_expr(a, env) for a in e.args]
-        ret, finals = self.run_function(callee, arg_vals,
-                                        thread_id=env.get("__thread_id__"))
         # copy-out: arrays (C pointers) and Out args mutate the caller's view
-        for arg, expr in zip(callee.args, e.args):
+        for arg, expr in zip(arg_defs, e.args):
             if arg.id in finals:
                 root, path = self._target_path(expr, env)
                 env = {**env, root: _set_path(env[root], path,
                                               finals[arg.id])}
         return ret, env
+
+    def _call_fwd_diff(self, fd: ir.ForwardDiff, arg_vals: List[Any],
+                       env: Dict):
+        """DSL-level call to a fwd_diff function (the reference's pendulum
+        pattern): args/results are structural diff values (struct-of-duals);
+        the dual arithmetic is jax.jvp over the lowered primal."""
+        primal = self.funcs[fd.primal_func]
+        if not isinstance(primal, ir.FunctionDef):
+            raise UserError(
+                f"fwd_diff of non-function '{fd.primal_func}'", fd.lineno
+            )
+        vals, tans = [], []
+        for a, dv in zip(primal.args, arg_vals):
+            v, t = _dual_split(a.t, dv)
+            vals.append(v)
+            tans.append(t)
+        tid = env.get("__thread_id__")
+
+        def g(vs):
+            return self.run_function(primal, list(vs), thread_id=tid)
+
+        (ret, finals), (dret, dfinals) = jax.jvp(
+            g, (tuple(vals),), (tuple(tans),)
+        )
+        out = (_dual_merge(primal.ret_type, ret, dret)
+               if primal.ret_type is not None else None)
+        arg_types = {a.id: a.t for a in primal.args}
+        dual_finals = {
+            k: _dual_merge(arg_types[k], finals[k], dfinals[k])
+            for k in finals
+        }
+        return out, dual_finals
 
     # -- statements ---------------------------------------------------------
 

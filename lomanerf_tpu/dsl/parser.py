@@ -53,7 +53,9 @@ def _parse_type(node: ast.expr, structs: Dict[str, ir.Struct]) -> ir.Type:
                 return ir.Array(elem, int(size_node.value))
             return ir.Array(_parse_type(sl, structs), None)
         if base.id == "Diff":
-            return ir.Diff(_parse_type(sl, structs))
+            # Diff[T] resolves structurally at parse time: Diff[Struct] is
+            # the struct-of-duals _dStruct (ir.diff_type)
+            return ir.diff_type(_parse_type(sl, structs))
         if base.id in ("In", "Out"):
             # qualifier handled by caller
             return _parse_type(sl, structs)

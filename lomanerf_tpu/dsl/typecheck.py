@@ -175,9 +175,30 @@ class TypeInference:
         callee = self.funcs.get(e.id)
         if callee is None:
             raise UnknownFunction(e.id, e.lineno)
+        if isinstance(callee, ir.ForwardDiff):
+            # calling a fwd_diff function from DSL code (the reference's
+            # pendulum pattern, examples/loma_code/pendulum_fwd.py): every
+            # arg/result type is the structural diff type of the primal's
+            primal = self.funcs.get(callee.primal_func)
+            if not isinstance(primal, ir.FunctionDef):
+                raise UnknownFunction(callee.primal_func, e.lineno)
+            want = [ir.diff_type(a.t) for a in primal.args]
+            if len(e.args) != len(want):
+                raise CallTypeMismatch(
+                    e.id, e.lineno,
+                    f"expected {len(want)} argument(s), got {len(e.args)}",
+                )
+            for i, (a, w) in enumerate(zip(e.args, want)):
+                if not _compatible(a.t, w):
+                    raise CallTypeMismatch(
+                        e.id, e.lineno,
+                        f"argument {i + 1} is {a.t}, expected {w}",
+                    )
+            e.t = (ir.diff_type(primal.ret_type)
+                   if primal.ret_type is not None else None)
+            return e
         if not isinstance(callee, ir.FunctionDef):
-            # fwd_diff/rev_diff declarations: signatures are synthesized at
-            # lowering; the lowerer rejects direct DSL calls to them
+            # rev_diff declarations: the lowerer rejects direct DSL calls
             e.t = None
             return e
         if len(e.args) != len(callee.args):

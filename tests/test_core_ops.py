@@ -163,3 +163,20 @@ def test_sum_mse_and_psnr(rng):
     np.testing.assert_allclose(
         float(psnr(jnp.asarray(a), jnp.asarray(b))), expected, rtol=1e-5
     )
+
+
+def test_generate_random_rays_normalized(rng):
+    """The alternative random-pixel sampler (ray_sampling.py:4-41 parity):
+    unit directions, origins at the camera translations."""
+    import jax
+
+    from lomanerf_tpu.core import generate_random_rays
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [1.0, 2.0, 3.0]
+    cams = jnp.asarray(np.stack([c2w, c2w]))
+    o, d = generate_random_rays(jax.random.PRNGKey(0), (32, 32), 17, cams)
+    assert o.shape == (34, 3) and d.shape == (34, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o), np.tile([1, 2, 3], (34, 1)))

@@ -723,6 +723,42 @@ def test_reference_nerf_through_dsl(rng):
     )
 
 
+def _reference_example_source(name):
+    import os
+
+    path = os.path.join(REFERENCE, "loma_public", "examples", "loma_code",
+                        f"{name}.py")
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    with open(path) as f:
+        return f.read()
+
+
+def test_reference_sum_array_through_dsl(rng):
+    """Compile the reference's sum_array demo unmodified (bounded loop +
+    ReLU tail, examples/loma_code/sum_array.py)."""
+    _, lib = dsl.compile(_reference_example_source("sum_array"))
+    arr = rng.standard_normal(37).astype(np.float32)
+    got = lib.sum_array(arr, 37)
+    np.testing.assert_allclose(got, max(arr.sum(), 0.0), rtol=1e-5)
+
+
+def test_reference_pendulum_through_dsl():
+    """Compile the reference's pendulum demo unmodified: Diff[Struct]
+    locals (struct-of-duals) and a DSL-level call to a fwd_diff function
+    (examples/loma_code/pendulum_fwd.py) — Hamiltonian partials must match
+    the analytic derivatives."""
+    _, lib = dsl.compile(_reference_example_source("pendulum_fwd"))
+    q, p = 0.6, 0.3
+    m, r, g = 1.0, 20.0, 9.8
+    c = {"mass": m, "radius": r, "g": g}
+    # H = p^2/(m r^2) + m g (-r cos q)
+    np.testing.assert_allclose(lib.dHdq(q, p, c), m * g * r * np.sin(q),
+                               rtol=1e-5)
+    np.testing.assert_allclose(lib.dHdp(q, p, c), 2 * p / (m * r * r),
+                               rtol=1e-5)
+
+
 def test_reference_mult_a_b_through_dsl(rng):
     code = _reference_source("mlp_fit")
     _, lib = dsl.compile(code)
