@@ -8,6 +8,10 @@ the same parity workload (30 samples/ray, MLP 33->30->30->4, fwd+grad per
 chunk of 4 rays).  Measured live when /root/reference + gcc are present
 (~350 rays/s on this host); otherwise a recorded constant is used.  The
 reference publishes no numbers of its own (BASELINE.md).
+
+``--task fit`` benchmarks the 2D image-fit train step instead (BASELINE
+configs 1-2): pixels/s fwd+bwd, baseline = the loma CPU mlp_fit fwd+grad
+loop over 256-px chunks (fit_img.py:423-431).
 """
 
 from __future__ import annotations
@@ -16,11 +20,13 @@ import argparse
 import json
 import time
 
-# Recorded loma CPU oracle throughput on this machine (see --live-baseline).
+# Recorded loma CPU oracle throughputs on this machine (see --live-baseline).
 LOMA_CPU_RAYS_PER_S = 350.0
+LOMA_CPU_FIT_PX_PER_S = 11000.0
 
 PARITY_SAMPLES = 30
 PARITY_LAYERS = [(33, 30), (30, 30), (30, 4)]
+FIT_LAYERS = [(22, 16), (16, 16), (16, 3)]
 
 
 def measure_baseline_live(budget_s: float = 3.0) -> float:
@@ -51,13 +57,106 @@ def measure_baseline_live(budget_s: float = 3.0) -> float:
     return iters * n_rays / (time.perf_counter() - t0)
 
 
+def measure_fit_baseline_live(budget_s: float = 3.0) -> float:
+    import numpy as np
+
+    from lomanerf_tpu.parity import oracle
+
+    if not oracle.oracle_available():
+        return LOMA_CPU_FIT_PX_PER_S
+    rng = np.random.default_rng(0)
+    ws = [rng.standard_normal(s).astype(np.float32) * 0.1 for s in FIT_LAYERS]
+    bs = [rng.standard_normal(s[1]).astype(np.float32) * 0.1 for s in FIT_LAYERS]
+    n = 256  # the reference's chunk (fit_img.py:421)
+    enc = rng.standard_normal((n, 22)).astype(np.float32)
+    target = rng.random((n, 3)).astype(np.float32)
+    oracle.mlp_fit_forward(enc, ws, bs, target)
+    oracle.mlp_fit_grad(enc, ws, bs, target)
+    t0 = time.perf_counter()
+    iters = 0
+    while time.perf_counter() - t0 < budget_s:
+        oracle.mlp_fit_forward(enc, ws, bs, target)
+        oracle.mlp_fit_grad(enc, ws, bs, target)
+        iters += 1
+    return iters * n / (time.perf_counter() - t0)
+
+
+def bench_fit(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from lomanerf_tpu.core import init_mlp
+    from lomanerf_tpu.models import ImageFieldConfig
+    from lomanerf_tpu.models.image_mlp import image_grid_coords
+    from lomanerf_tpu.train.steps import make_image_fit_step, resolve_backend
+
+    cfg = {"fit": ImageFieldConfig.small,
+           "fit-hires": ImageFieldConfig.hires}[args.config]()
+    backend = args.backend
+    if backend == "auto":
+        backend = resolve_backend(cfg)
+    params = init_mlp(
+        jax.random.PRNGKey(0), cfg.in_channels, cfg.out_channels,
+        cfg.num_layers, cfg.filter_size,
+    )
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    n_px = cfg.img_size * cfg.img_size
+    coords = image_grid_coords(cfg.img_size)
+    rng = np.random.default_rng(0)
+    step = make_image_fit_step(cfg, opt, backend=backend, donate=False)
+    K = args.inner_steps
+
+    @jax.jit
+    def run_k(params, opt_state, target):
+        def body(carry, _):
+            p, s = carry
+            p, s, loss = step(p, s, coords, target, None)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=K
+        )
+        return params, opt_state, losses[-1]
+
+    targets = [jnp.asarray(rng.random((n_px, 3)), jnp.float32)
+               for _ in range(2)]
+    p, s = params, opt_state
+    for t in targets:
+        p, s, loss = run_k(p, s, t)
+    _ = float(loss)
+
+    times, losses_seen = [], []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        p, s, loss = run_k(p, s, targets[i % 2])
+        lv = float(loss)
+        times.append((time.perf_counter() - t0) / K)
+        losses_seen.append(lv)
+    assert np.isfinite(lv), "non-finite loss in benchmark"
+    assert len(set(losses_seen)) == len(losses_seen), losses_seen
+    px_per_s = n_px / sorted(times)[len(times) // 2]
+    baseline = (measure_fit_baseline_live() if args.live_baseline
+                else LOMA_CPU_FIT_PX_PER_S)
+    print(json.dumps({
+        "metric": f"fit2d_train_px_per_s_chip[{backend}]"
+                  + ("" if args.config == "fit" else "[hires]"),
+        "value": round(px_per_s, 1),
+        "unit": "px/s",
+        "vs_baseline": round(px_per_s / baseline, 2),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=0,
                     help="rays per step (default: per-config)")
     ap.add_argument("--config", default="small",
-                    choices=["small", "single64", "full"],
-                    help="NeRF config ladder entry (small = reference parity)")
+                    choices=["small", "single64", "full", "fit", "fit-hires"],
+                    help="config ladder entry (small = reference parity; "
+                         "fit/fit-hires imply --task fit)")
     ap.add_argument("--steps", type=int, default=10, help="timed outer calls")
     ap.add_argument("--inner-steps", dest="inner_steps", type=int, default=20,
                     help="train steps chained inside one jit per outer call")
@@ -70,6 +169,9 @@ def main() -> None:
         help="re-measure the loma CPU baseline instead of the recorded value",
     )
     args = ap.parse_args()
+    if args.config in ("fit", "fit-hires"):
+        bench_fit(args)
+        return
 
     import jax
     import jax.numpy as jnp

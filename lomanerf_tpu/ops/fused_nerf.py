@@ -432,6 +432,33 @@ def _encode_T(ptsT, E_ref, m_ref, precision):
     return m_ref[:, 0:1] * P + m_ref[:, 1:2] * jnp.sin(P + m_ref[:, 2:3])
 
 
+def _encode_T_rec(ptsT, num_functions, ps, in_dim=3):
+    """Recurrence encoding: the sin pass over all PS sublanes was the
+    measured VPU floor of the parity train step (PERF.md ablation, ~47%).
+    sin/cos of the base octave are computed ONCE on (in_dim, rows) slices
+    and every higher octave follows from the double-angle identities
+        sin 2x = 2 sin x cos x,   cos 2x = 1 - 2 sin^2 x
+    — 3 multiply/add passes on (in_dim, rows) per octave instead of a
+    transcendental over the full (PS, rows) tile: ~PS/(2*in_dim) = 6.7x
+    fewer transcendental lanes for the parity config.  Error grows ~2x per
+    octave (≈16 ulp at octave 4) — far inside kernel parity tolerances.
+    Layout matches pos_encoding.py:26-32: [x | sin 2^0 x | cos 2^0 x | ...].
+    """
+    p = ptsT[:in_dim, :]
+    s = jnp.sin(p)
+    c = jnp.cos(p)
+    blocks = [p, s, c]
+    for _ in range(1, num_functions):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        blocks.append(s)
+        blocks.append(c)
+    enc = jnp.concatenate(blocks, axis=0)
+    pad = ps - enc.shape[0]
+    if pad:
+        enc = jnp.pad(enc, ((0, pad), (0, 0)))
+    return enc
+
+
 def _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
     """acts[l] are (PS, rows); w_ref[l] holds W_l^T in [:out, :in]."""
     acts = [enc.astype(cdt)]
@@ -479,13 +506,18 @@ def _ray_matrix_T(R, rows, S):
 def _nerf_train_kernel_T(
     nrays_ref, ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, tgtT_ref,
     loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
-    ablate="",
+    num_functions, enc_impl="rec", ablate="",
 ):
+    def _enc():
+        if enc_impl == "rec":
+            return _encode_T_rec(ptsT_ref[...], num_functions,
+                                 w_ref.shape[1])
+        return _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
     """Transposed single-pass train kernel: forward + sum-MSE + backward.
     Outputs dW in W^T layout (L, PS, PS) and db as (PS, L) columns."""
     rows = R * S
     if "enc_only" in ablate:  # measure launch+DMA+encode floor
-        enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+        enc = _enc()
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -495,7 +527,7 @@ def _nerf_train_kernel_T(
 
         loss_ref[...] += jnp.sum(enc[:1, :1], axis=0, keepdims=True)
         return
-    enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+    enc = _enc()
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
     distsT = distsT_ref[...]
@@ -607,12 +639,15 @@ def _bwd_from_dcol_T(
 
 def _nerf_forward_kernel_T(
     ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
-    *, L, S, mode, precision, cdt,
+    *, L, S, mode, precision, cdt, num_functions, enc_impl="rec",
 ):
     """Transposed render forward: writes the (8, rows) segmented suffix sum
     of weighted colors — the lane at each ray's s == 0 holds its color
     (sublanes 0..2); the wrapper gathers those lanes in XLA."""
-    enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+    if enc_impl == "rec":
+        enc = _encode_T_rec(ptsT_ref[...], num_functions, w_ref.shape[1])
+    else:
+        enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
     w = _composite_fwd_T(rgba, distsT_ref[...], S, mode)[-1]
@@ -621,12 +656,16 @@ def _nerf_forward_kernel_T(
 
 def _nerf_backward_kernel_T(
     ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, dcolT_ref,
-    dw_ref, db_ref, *, L, S, mode, precision, cdt,
+    dw_ref, db_ref, *, L, S, mode, precision, cdt, num_functions,
+    enc_impl="rec",
 ):
     """Transposed remat backward for the render path: recompute the tile's
     forward in VMEM, then run the shared transposed adjoint walk.  dcolT is
     (8, rows): each ray's color cotangent replicated across its samples."""
-    enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+    if enc_impl == "rec":
+        enc = _encode_T_rec(ptsT_ref[...], num_functions, w_ref.shape[1])
+    else:
+        enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
     distsT = distsT_ref[...]
@@ -655,11 +694,11 @@ def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
     in_pad = E_np.shape[1]
     fwd_kernel = functools.partial(
         _nerf_forward_kernel_T, L=L, S=S, mode=mode, precision=precision,
-        cdt=cdt,
+        cdt=cdt, num_functions=num_functions,
     )
     bwd_kernel = functools.partial(
         _nerf_backward_kernel_T, L=L, S=S, mode=mode, precision=precision,
-        cdt=cdt,
+        cdt=cdt, num_functions=num_functions,
     )
     rows = R * S
 
@@ -758,7 +797,7 @@ def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
     in_pad = E_np.shape[1]
     kernel = functools.partial(
         _nerf_train_kernel_T, L=L, R=R, S=S, mode=mode, precision=precision,
-        cdt=cdt, ablate=ablate,
+        cdt=cdt, num_functions=num_functions, ablate=ablate,
     )
     rows = R * S
 

@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--nsets", type=int, default=3)
+    ap.add_argument("--filter", default="",
+                    help="substring filter on case labels")
     args = ap.parse_args()
 
     import jax
@@ -77,12 +79,15 @@ def main():
         (256, True, "float32", ""),
     ]
     for R, hp, cdt, ab in cases:
+        label = f"T R={R:3d} hp={hp} {cdt:8s} ablate={ab or 'none'}"
+        if args.filter and args.filter not in label:
+            continue
         def mk(p, o, d, t, di, tg, R=R, hp=hp, cdt=cdt, ab=ab):
             return jax.value_and_grad(
                 lambda q: fused_nerf._nerf_train_loss_T(
                     q, o, d, t, di, tg, cfg, R, hp, cdt, 40, ab)
             )(p)
-        timeit(mk, f"T R={R:3d} hp={hp} {cdt:8s} ablate={ab or 'none'}")
+        timeit(mk, label)
 
 
 if __name__ == "__main__":
