@@ -149,12 +149,68 @@ def bench_fit(args) -> None:
     }))
 
 
+def bench_render(args) -> None:
+    """BASELINE config 5's single-chip slice: 800x800 render (eval path,
+    flagship MLP) rays/s.  The multi-host story for this rung is
+    docs/scaling.md + __graft_entry__.dryrun_multichip; per-chip render
+    throughput is what one chip contributes to the pod-scale render."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lomanerf_tpu.core import sample_along_rays, init_mlp
+    from lomanerf_tpu.models import NeRFConfig
+    from lomanerf_tpu.ops import fused_nerf
+
+    cfg = NeRFConfig.full()
+    n = args.rays or 800 * 800
+    params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels,
+                      cfg.out_channels, cfg.num_layers, cfg.filter_size)
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    _, t_vals, dists = sample_along_rays(o, d, cfg.near, cfg.far,
+                                         cfg.num_samples)
+    K = max(args.inner_steps // 4, 2)
+
+    @jax.jit
+    def run_k(salt):
+        def body(acc, i):
+            # perturbed origins per chained render: the relay cannot
+            # memoize and the fetched probe depends on every render
+            col = fused_nerf.render_rays(
+                params, o * (1.0 + salt + 1e-4 * i.astype(jnp.float32)),
+                d, t_vals, dists, cfg)
+            return acc + jnp.mean(col), acc
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.int32))
+        return acc
+
+    _ = float(run_k(jnp.float32(0.0)))
+    _ = float(run_k(jnp.float32(0.3)))
+    times, seen = [], []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        v = float(run_k(jnp.float32(0.05 * (i + 1))))
+        times.append((time.perf_counter() - t0) / K)
+        seen.append(v)
+    assert len(set(seen)) == len(seen), seen
+    rays_per_s = n / sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": "nerf_render_rays_per_s_chip[pallas][800x800,full]",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / LOMA_CPU_RAYS_PER_S, 2),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=0,
                     help="rays per step (default: per-config)")
     ap.add_argument("--config", default="small",
-                    choices=["small", "single64", "full", "fit", "fit-hires"],
+                    choices=["small", "single64", "full", "fit", "fit-hires",
+                             "pod-render"],
                     help="config ladder entry (small = reference parity; "
                          "fit/fit-hires imply --task fit)")
     ap.add_argument("--steps", type=int, default=10, help="timed outer calls")
@@ -171,6 +227,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.config in ("fit", "fit-hires"):
         bench_fit(args)
+        return
+    if args.config == "pod-render":
+        bench_render(args)
         return
 
     import jax
