@@ -79,7 +79,13 @@ def spec_of_function(lowerer: Lowerer, f: ir.FunctionDef) -> LoweredSpec:
 
 
 def forward_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
-    """fwd_diff: duals for every float-typed arg; jvp under the hood."""
+    """fwd_diff: duals for every float-typed arg; jvp under the hood.
+
+    ``fwd_diff`` of a ``@simd`` kernel is itself a simd kernel (the
+    reference preserves ``is_simd`` through the transform,
+    reverse_diff.py:553-558 / forward_diff analog): the jvp is taken of the
+    WHOLE parallel dispatch (the scan over thread ids), so cross-thread
+    writes propagate tangents exactly like the generated ISPC duals."""
     args = [
         ArgSpec(a.id, ir.Diff(a.t) if is_float_type(a.t) else a.t, a.is_out,
                 dual=is_float_type(a.t) or a.dual)
@@ -87,7 +93,7 @@ def forward_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
     ]
     float_idx = [i for i, a in enumerate(args) if a.dual]
 
-    def fn(dual_vals):
+    def _split(dual_vals):
         vals, tans = [], []
         for a, x in zip(args, dual_vals):
             if a.dual:
@@ -95,6 +101,11 @@ def forward_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
                 tans.append(x["dval"])
             else:
                 vals.append(x)
+        return vals, tans
+
+    def fn(dual_vals):
+        vals, tans = _split(dual_vals)
+
         def g(float_vals):
             full = list(vals)
             for i, v in zip(float_idx, float_vals):
@@ -108,7 +119,24 @@ def forward_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
         duals = {k: {"val": finals[k], "dval": dfinals[k]} for k in finals}
         return out_ret, duals
 
-    return LoweredSpec(name, args, primal.ret, True, fn)
+    simd_fn = None
+    if primal.is_simd:
+        def simd_fn(dual_vals, total_work):
+            vals, tans = _split(dual_vals)
+
+            def g(float_vals):
+                full = list(vals)
+                for i, v in zip(float_idx, float_vals):
+                    full[i] = v
+                return primal.simd_fn(full, total_work)
+
+            fvals = tuple(vals[i] for i in float_idx)
+            finals, dfinals = jax.jvp(g, (fvals,), (tuple(tans),))
+            return {k: {"val": finals[k], "dval": dfinals[k]}
+                    for k in finals}
+
+    return LoweredSpec(name, args, primal.ret, True, fn,
+                       primal.is_simd, simd_fn)
 
 
 def reverse_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
@@ -117,6 +145,16 @@ def reverse_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
     The returned spec's ``fn(vals, _dreturn, out_adjoints)`` (extended
     signature, used by the compiler entry) yields the adjoints of the
     differentiable In args.
+
+    ``rev_diff`` of a ``@simd`` kernel (the reference's parallel reverse
+    mode, hw_tests/hw3/test.py:452-515) differentiates the WHOLE parallel
+    dispatch — ``simd_fn``, the scan over thread ids — so the adjoint
+    fan-in that loma realises with ``atomic_add`` in the generated ISPC
+    adjoint (reverse_diff.py:144-155) falls out of scan's VJP: a value read
+    by many threads accumulates all their cotangents.  The resulting spec
+    carries ``grad_simd_fn(vals, out_adjoints, total_work)`` and keeps
+    ``is_simd`` so the compiled entry takes the reference's trailing
+    ``total_work`` argument (compiler.py:273-275).
     """
     diff_idx = [
         i for i, a in enumerate(primal.args)
@@ -164,9 +202,32 @@ def reverse_diff_spec(primal: LoweredSpec, name: str) -> LoweredSpec:
         return {primal.args[i].id: d for i, d in zip(diff_idx, d_diff)}
 
     spec = LoweredSpec(name, list(primal.args), primal.ret, primal.ret_dual,
-                       primal.fn)
+                       primal.fn, primal.is_simd, primal.simd_fn)
     spec.grad_fn = grad_fn
     spec.diff_arg_ids = [primal.args[i].id for i in diff_idx]
+
+    if primal.is_simd:
+        def grad_simd_fn(vals, out_adjoints, total_work):
+            def g(diff_args):
+                full = list(vals)
+                for i, v in zip(diff_idx, diff_args):
+                    full[i] = v
+                finals = primal.simd_fn(full, total_work)
+                return {k: finals[k] for k in out_names if k in finals}
+
+            diff_args = tuple(vals[i] for i in diff_idx)
+            outs, vjp_fn = jax.vjp(g, diff_args)
+            outs_ct = {
+                k: (out_adjoints or {}).get(
+                    k, jax.tree.map(jnp.zeros_like, v)
+                )
+                for k, v in outs.items()
+            }
+            (d_diff,) = vjp_fn(outs_ct)
+            return {primal.args[i].id: d
+                    for i, d in zip(diff_idx, d_diff)}
+
+        spec.grad_simd_fn = grad_simd_fn
     return spec
 
 

@@ -131,6 +131,25 @@ def _make_plain_entry(spec: dsl_ad.LoweredSpec):
 
 
 def _make_fwd_entry(spec: dsl_ad.LoweredSpec):
+    if spec.is_simd:
+        # fwd_diff of a @simd kernel: dual args + the reference's trailing
+        # total_work (compiler.py:262-277 appends it for simd symbols)
+        @functools.lru_cache(maxsize=8)
+        def jitted_simd(total_work):
+            return jax.jit(lambda duals: spec.simd_fn(duals, total_work))
+
+        def entry(*call_args):
+            *dual_args, total_work = call_args
+            jargs = tuple(_to_jax(a) for a in dual_args)
+            dual_finals = jitted_simd(int(total_work))(jargs)
+            for a, buf in zip(spec.args, dual_args):
+                if a.id in dual_finals and isinstance(buf, dict):
+                    _writeback(buf.get("val"), dual_finals[a.id]["val"])
+                    _writeback(buf.get("dval"), dual_finals[a.id]["dval"])
+            return None
+
+        return entry
+
     jitted = jax.jit(lambda duals: spec.fn(list(duals)))
 
     def entry(*dual_args):
@@ -151,6 +170,42 @@ def _make_fwd_entry(spec: dsl_ad.LoweredSpec):
 def _make_rev_entry(spec: dsl_ad.LoweredSpec):
     out_names = {a.id for a in spec.args if a.is_out}
     has_ret = spec.ret
+
+    if spec.is_simd:
+        # rev_diff of a @simd kernel (the reference's parallel reverse mode,
+        # hw_tests/hw3/test.py:452-515): interleaved (value, adjoint) pairs
+        # + the trailing total_work the reference appends to every simd
+        # symbol (compiler.py:273-275).  simd kernels return void, so there
+        # is no _dreturn; the seeds are the Out-arg adjoint buffers.
+        @functools.lru_cache(maxsize=8)
+        def jitted_simd(total_work):
+            return jax.jit(
+                lambda args, out_adj:
+                    spec.grad_simd_fn(list(args), out_adj, total_work)
+            )
+
+        def entry(*call_args):
+            *inter, total_work = call_args
+            if len(inter) != 2 * len(spec.args):
+                raise TypeError(
+                    f"simd grad entry expects {2 * len(spec.args)} "
+                    f"interleaved args + total_work, got {len(call_args)}"
+                )
+            values = list(inter[0::2])
+            adj_bufs = list(inter[1::2])
+            out_adj = {
+                a.id: _to_jax(adj)
+                for a, adj in zip(spec.args, adj_bufs)
+                if a.id in out_names
+            }
+            jargs = tuple(_to_jax(v) for v in values)
+            adjoints = jitted_simd(int(total_work))(jargs, out_adj)
+            for a, buf in zip(spec.args, adj_bufs):
+                if a.id in adjoints:
+                    _accum_into(buf, adjoints[a.id])
+            return adjoints
+
+        return entry
 
     jitted = jax.jit(
         lambda args, dret, out_adj: spec.grad_fn(list(args), dret, out_adj)

@@ -15,6 +15,7 @@ The model is functional: ``init`` makes a params pytree, ``render_rays`` /
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import jax
@@ -123,14 +124,45 @@ class NeRFModel:
         self, params, K, c2w, img_size: int, chunk: int = 4096
     ) -> jnp.ndarray:
         """Chunked full-image render (the reference renders view 2 every 25
-        iters chunk-by-chunk, train_nerf.py:558-712)."""
+        iters chunk-by-chunk, train_nerf.py:558-712).
+
+        All chunks run inside ONE jit via ``lax.scan``: a Python chunk loop
+        pays one dispatch round-trip per chunk (~32 ms through this
+        environment's device relay — 157 sequential RTTs for an 800x800
+        render), whereas the scan costs a single dispatch."""
         o, d = rays.get_rays(img_size, img_size, K, c2w)
-        out = []
-        for start in range(0, o.shape[0], chunk):
-            oc, dc = o[start : start + chunk], d[start : start + chunk]
-            pts, tv, dists = self.sample(oc, dc)
-            out.append(self.render_rays(params, oc, dc, tv, dists))
-        return jnp.concatenate(out, axis=0).reshape(img_size, img_size, 3)
+        n = o.shape[0]
+        pad = (-n) % chunk
+        oc = jnp.pad(o, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        dc = jnp.pad(d, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        cols = _render_chunks(self.config, self.backend, params, oc, dc)
+        return cols[:n].reshape(img_size, img_size, 3)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _render_chunks(config: NeRFConfig, backend: str, params, oc, dc):
+    """Scan the per-chunk render over all (num_chunks, chunk, 3) ray blocks
+    inside one compiled program (one device dispatch per image)."""
+
+    def body(_, od):
+        o, d = od
+        _, tv, dists = rays.sample_along_rays(
+            o, d, config.near, config.far, config.num_samples
+        )
+        if backend == "pallas":
+            from lomanerf_tpu.ops import fused_nerf
+
+            col = fused_nerf.render_rays(params, o, d, tv, dists, config)
+        else:
+            col = pipeline.nerf_render_rays(
+                params, o, d, tv, dists,
+                num_functions=config.num_encoding_functions,
+                mode=config.mode,
+            )
+        return None, col
+
+    _, cols = jax.lax.scan(body, None, (oc, dc))
+    return cols.reshape(-1, 3)
 
 
 def count_params(params: mlp.Params) -> int:

@@ -69,27 +69,30 @@ def render_rays_local(
 def _mirror_spec(opt_state, params, p_spec):
     """PartitionSpec tree for an optax state.
 
-    Optimizer moments (adam m/v, momentum, ...) are sub-trees that mirror the
-    param tree, so an opt-state leaf whose key-path *ends with* a param's
-    key-path gets that param's spec; everything else (step counts) is
-    replicated."""
-    flat_params, treedef = jax.tree.flatten_with_path(params)
-    flat_specs = jax.tree.flatten(params)[1].flatten_up_to(p_spec)
-    by_path = {
-        tuple(str(k) for k in path): spec
-        for (path, _), spec in zip(flat_params, flat_specs)
-    }
-    max_len = max((len(p) for p in by_path), default=0)
+    Optimizer moments (adam m/v, momentum, ...) are sub-trees STRUCTURALLY
+    EQUAL to the param tree — same treedef and same leaf shapes.  Each such
+    subtree mirrors ``p_spec`` wholesale; every other leaf (step counts,
+    scalars) is replicated.  Structural matching (rather than key-path
+    suffix matching) stays correct for nested/chained optimizers whose
+    state paths collide or nest, e.g. ``optax.chain`` of several
+    scale-by-adam-like transforms."""
+    pdef = jax.tree.structure(params)
+    p_shapes = [jnp.shape(x) for x in jax.tree.leaves(params)]
 
-    def leaf_spec(path, x):
-        keys = tuple(str(k) for k in path)
-        for k in range(max(0, len(keys) - max_len), len(keys)):
-            spec = by_path.get(keys[k:])
-            if spec is not None:
-                return spec
-        return P()
+    def is_param_like(node):
+        try:
+            if jax.tree.structure(node) != pdef:
+                return False
+            return [jnp.shape(x) for x in jax.tree.leaves(node)] == p_shapes
+        except Exception:  # non-pytree odds and ends
+            return False
 
-    return jax.tree_util.tree_map_with_path(leaf_spec, opt_state)
+    def spec_for(node):
+        if is_param_like(node):
+            return p_spec
+        return jax.tree.map(lambda _: P(), node)
+
+    return jax.tree.map(spec_for, opt_state, is_leaf=is_param_like)
 
 
 def state_specs(config, params, opt_state, tp: bool = False):

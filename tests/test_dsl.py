@@ -171,6 +171,163 @@ def parallel_reduce(x : In[Array[float]], total : Out[Array[float, 1]]):
     np.testing.assert_allclose(total[0], x.sum(), rtol=1e-5)
 
 
+def test_rev_parallel_copy():
+    """Port of hw3 test_parallel_copy (hw_tests/hw3/test.py:452-467): the
+    adjoint of a broadcast-write is a FAN-IN sum over all threads — the
+    role loma's atomic_add plays in the generated parallel adjoint
+    (reverse_diff.py:144-155)."""
+    code = """
+@simd
+def parallel_copy(x : In[float],
+                  z : Out[Array[float]]):
+    i : int = thread_id()
+    z[i] = x
+
+rev_parallel_copy = rev_diff(parallel_copy)
+"""
+    _, lib = dsl.compile(code)
+    n = 10000
+    x = 0.123
+    dx = np.zeros((), np.float32)
+    rng = np.random.default_rng(1234)
+    z = np.zeros(n, np.float32)
+    dz = (rng.random(n) / n).astype(np.float32)
+    # interleaved (value, adjoint) pairs + trailing total_work
+    lib.rev_parallel_copy(x, dx, z, dz, n)
+    np.testing.assert_allclose(dx, dz.sum(), rtol=1e-4)
+
+
+def test_rev_parallel_add():
+    """Port of hw3 test_parallel_add (hw_tests/hw3/test.py:469-492):
+    elementwise adjoints pass straight through per-thread."""
+    code = """
+@simd
+def parallel_add(x : In[Array[float]],
+                 y : In[Array[float]],
+                 z : Out[Array[float]]):
+    i : int = thread_id()
+    z[i] = x[i] + y[i]
+
+rev_parallel_add = rev_diff(parallel_add)
+"""
+    _, lib = dsl.compile(code)
+    rng = np.random.default_rng(1234)
+    n = 10000
+    x = (rng.random(n) / n).astype(np.float32)
+    y = (rng.random(n) / n).astype(np.float32)
+    dx = np.zeros_like(x)
+    dy = np.zeros_like(y)
+    z = np.zeros_like(x)
+    dz = (rng.random(n) / n).astype(np.float32)
+    lib.rev_parallel_add(x, dx, y, dy, z, dz, n)
+    np.testing.assert_allclose(dx, dz, atol=1e-6)
+    np.testing.assert_allclose(dy, dz, atol=1e-6)
+
+
+def test_rev_parallel_reduce():
+    """Port of hw3 test_parallel_reduce (hw_tests/hw3/test.py:494-515):
+    the adjoint of an atomic_add reduction broadcasts the scalar cotangent
+    to every contributing element."""
+    code = """
+@simd
+def parallel_reduce(x : In[Array[float]],
+                    z : Out[float]):
+    i : int = thread_id()
+    atomic_add(z, x[i])
+
+rev_parallel_reduce = rev_diff(parallel_reduce)
+"""
+    _, lib = dsl.compile(code)
+    rng = np.random.default_rng(1234)
+    n = 10000
+    x = (rng.random(n) / n).astype(np.float32)
+    dx = np.zeros_like(x)
+    dz = 0.234
+    lib.rev_parallel_reduce(x, dx, np.zeros((), np.float32),
+                            np.asarray(dz, np.float32), n)
+    np.testing.assert_allclose(dx, np.full(n, dz, np.float32), rtol=1e-5)
+
+
+def test_fwd_parallel_simd():
+    """fwd_diff of a @simd kernel: per-thread tangents flow into the Out
+    buffer's dval (the ISPC-dual analog)."""
+    code = """
+@simd
+def parallel_mul(x : In[Array[float]],
+                 y : In[Array[float]],
+                 z : Out[Array[float]]):
+    i : int = thread_id()
+    z[i] = x[i] * y[i]
+
+d_parallel_mul = fwd_diff(parallel_mul)
+"""
+    _, lib = dsl.compile(code)
+    rng = np.random.default_rng(7)
+    n = 257
+    x = rng.random(n).astype(np.float32)
+    dx = rng.random(n).astype(np.float32)
+    y = rng.random(n).astype(np.float32)
+    dy = rng.random(n).astype(np.float32)
+    zd = {"val": np.zeros(n, np.float32), "dval": np.zeros(n, np.float32)}
+    lib.d_parallel_mul({"val": x, "dval": dx}, {"val": y, "dval": dy},
+                       zd, n)
+    np.testing.assert_allclose(zd["val"], x * y, rtol=1e-6)
+    np.testing.assert_allclose(zd["dval"], dx * y + x * dy, rtol=1e-5)
+
+
+def test_rev_through_call_mutating_out_arg():
+    """rev_diff through a USER CALL that mutates an Out arg — the
+    reference's _d_rev_ call machinery (reverse_diff.py:952-1016).  The
+    call argument is itself a compound expression, covering the
+    CallNormalizeMutator capability (reverse_diff.py:226-312)."""
+    code = """
+def square_into(x : In[float], y : Out[float]):
+    y = x * x
+
+def f(x : In[float]) -> float:
+    t : float = 0.0
+    square_into(x + 1.0, t)
+    return 3.0 * t
+
+grad_f = rev_diff(f)
+"""
+    _, lib = dsl.compile(code)
+    x = 0.7
+    dx = np.zeros((), np.float32)
+    adj = lib.grad_f(x, dx, 1.0)
+    # f = 3 (x+1)^2 -> df/dx = 6 (x+1)
+    np.testing.assert_allclose(float(adj["x"]), 6.0 * (x + 1.0), rtol=1e-5)
+
+
+def test_rev_through_nested_call_args():
+    """rev_diff with a user call NESTED inside another call's argument
+    list (reverse_diff.py:226-312's normalization capability) plus an Out
+    mutation downstream of it."""
+    code = """
+def cube(x : In[float]) -> float:
+    return x * x * x
+
+def scale_into(x : In[float], s : In[float], y : Out[float]):
+    y = x * s
+
+def f(x : In[float]) -> float:
+    t : float = 0.0
+    scale_into(cube(x) + x, 2.0, t)
+    return t + cube(t)
+
+grad_f = rev_diff(f)
+"""
+    _, lib = dsl.compile(code)
+    x = 0.6
+    dx = np.zeros((), np.float32)
+    adj = lib.grad_f(x, dx, 1.0)
+    # t = 2 (x^3 + x); f = t + t^3
+    t = 2.0 * (x**3 + x)
+    dt_dx = 2.0 * (3.0 * x**2 + 1.0)
+    want = (1.0 + 3.0 * t**2) * dt_dx
+    np.testing.assert_allclose(float(adj["x"]), want, rtol=1e-5)
+
+
 def test_error_undeclared_variable():
     code = """
 def f(x : In[float]) -> float:

@@ -178,6 +178,42 @@ def test_pallas_with_tp_raises():
                         backend="pallas")
 
 
+def test_mirror_spec_chained_optimizer(rng):
+    """Opt-state sharding for nested/chained optimizers: an optax.chain
+    with TWO scale_by_adam states (colliding state paths) plus empty and
+    scalar states must get param specs on every moment subtree and P() on
+    counts — and the dp x tp train step must actually run with it."""
+    from lomanerf_tpu.parallel.train_step import state_specs
+
+    cfg = NeRFConfig(num_layers=4, filter_size=32, num_samples=8)
+    params = init_mlp(jax.random.PRNGKey(9), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.scale_by_adam(),
+        optax.scale_by_adam(b1=0.95),
+        optax.scale(-5e-3),
+    )
+    opt_state = opt.init(params)
+    p_spec, o_spec = state_specs(cfg, params, opt_state, tp=True)
+    # both adam states mirror the param specs; counts are replicated
+    for i in (1, 2):
+        assert o_spec[i].mu == p_spec
+        assert o_spec[i].nu == p_spec
+        assert o_spec[i].count == P()
+
+    mesh = make_mesh(dp=2, tp=4, axis_names=("data", "model"))
+    batch = _ray_batch(rng, 16, cfg.num_samples, cfg)
+    step = make_train_step(cfg, opt, mesh, params, opt_state, tp=True,
+                           donate=False)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_dp_tp_train_step_runs_and_improves(rng):
     """Full dp=2 x tp=4 train step: loss decreases over a few iterations."""
     cfg = NeRFConfig(num_layers=4, filter_size=32, num_samples=8)
