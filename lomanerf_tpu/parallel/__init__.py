@@ -2,7 +2,9 @@
 
 from lomanerf_tpu.parallel.mesh import (  # noqa: F401
     data_mesh,
+    host_local_batch_to_global,
     initialize_multihost,
+    is_primary,
     make_mesh,
     ray_sharding,
     replicated,

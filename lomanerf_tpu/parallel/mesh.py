@@ -45,13 +45,35 @@ def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
-def initialize_multihost(coordinator: Optional[str] = None) -> None:
-    """Multi-host init (jax.distributed).  No-op on a single host / when the
-    environment already initialized (e.g. TPU pod runtime)."""
+def initialize_multihost(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init (jax.distributed).
+
+    No-op when already initialized (e.g. a TPU pod runtime that pre-wires
+    ``jax.distributed``).  With an explicit ``coordinator`` (or the standard
+    ``JAX_COORDINATOR_ADDRESS`` env var) it joins/forms the cluster; on a
+    plain single host with neither it is a no-op."""
+    import os
+
     if jax.process_count() > 1:
         return
     if coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator)
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def is_primary() -> bool:
+    """True on the process that owns host-side writes (metrics, images,
+    non-collective checkpoint fallbacks)."""
+    return jax.process_index() == 0
 
 
 def replicated(mesh: Mesh):
@@ -63,7 +85,27 @@ def ray_sharding(mesh: Mesh, axis: str = "data"):
     return NamedSharding(mesh, P(axis))
 
 
+def host_local_batch_to_global(mesh: Mesh, batch, axis: str = "data"):
+    """Assemble GLOBAL ray-sharded arrays from each host's LOCAL batch.
+
+    Every host produces its own disjoint slice of the step's rays (the
+    driver partitions the RNG stream per process); this stitches those
+    per-host slices into global jax.Arrays of leading dimension
+    ``process_count * local_n`` via
+    ``jax.make_array_from_process_local_data`` — no cross-host data
+    movement, each host's rows land on its local devices."""
+    s = ray_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch,
+    )
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put a pytree of per-host arrays with rays sharded on ``axis``."""
+    """Place a per-host batch pytree onto the mesh with rays sharded on
+    ``axis``: a plain sharded device_put on one host, the process-local
+    global-array assembly on a multi-host mesh."""
+    if jax.process_count() > 1:
+        return host_local_batch_to_global(mesh, batch, axis)
     s = ray_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)

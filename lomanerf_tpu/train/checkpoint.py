@@ -38,9 +38,12 @@ class CheckpointManager:
     def save(self, step: int, params: Any, opt_state: Any) -> None:
         state = {"params": params, "opt_state": opt_state}
         if self._mgr is not None:
+            # orbax saves are COLLECTIVE in multi-host (every process
+            # participates; orbax itself writes from the right hosts)
             self._mgr.save(step, args=ocp.args.StandardSave(state))
             self._mgr.wait_until_finished()
-        else:  # pragma: no cover - numpy fallback
+        elif jax.process_index() == 0:  # pragma: no cover - numpy fallback
+            # the non-collective fallback writes from process 0 only
             flat, _ = jax.tree.flatten(state)
             np.savez(
                 os.path.join(self.directory, f"ckpt_{step}.npz"),

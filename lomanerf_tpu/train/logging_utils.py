@@ -25,17 +25,31 @@ except ImportError:  # pragma: no cover
 
 
 class MetricsLogger:
+    """JSONL (+ optional wandb) metrics stream.
+
+    Multi-host: only process 0 writes (``primary_only``, default on) —
+    every other process gets a no-op logger, so SPMD drivers can log
+    unconditionally without N hosts racing on one file."""
+
     def __init__(self, log_dir: str, project: Optional[str] = None,
-                 use_wandb: bool = False):
-        os.makedirs(log_dir, exist_ok=True)
+                 use_wandb: bool = False, primary_only: bool = True):
+        from lomanerf_tpu.parallel import is_primary
+
+        self.active = is_primary() or not primary_only
         self.log_dir = log_dir
-        self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._f = None
         self._wandb = None
+        if not self.active:
+            return
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         if use_wandb and _HAVE_WANDB:  # pragma: no cover
             self._wandb = _wandb
             self._wandb.init(project=project or "lomanerf-tpu")
 
     def log(self, step: int, **metrics) -> None:
+        if not self.active:
+            return
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
@@ -44,7 +58,8 @@ class MetricsLogger:
             self._wandb.log(metrics, step=step)
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._wandb is not None:  # pragma: no cover
             self._wandb.finish()
 

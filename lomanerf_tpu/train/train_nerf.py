@@ -57,6 +57,9 @@ def main(argv=None) -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=215)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host coordinator address host:port (single "
+                         "host / pre-initialized pod runtimes: omit)")
     args = ap.parse_args(argv)
 
     import jax
@@ -70,10 +73,13 @@ def main(argv=None) -> None:
         sample_along_rays
     from lomanerf_tpu.data import NeRFDataset, write_blender_dataset
     from lomanerf_tpu.models import NeRFConfig, NeRFModel
-    from lomanerf_tpu.parallel import RayBatch, make_mesh, make_train_step, \
-        place_state, shard_batch
+    from lomanerf_tpu.parallel import RayBatch, initialize_multihost, \
+        is_primary, make_mesh, make_train_step, place_state, shard_batch
     from lomanerf_tpu.train import checkpoint, optim
     from lomanerf_tpu.train.logging_utils import MetricsLogger, save_triptych
+
+    # multi-host first: the mesh below spans ALL processes' devices
+    initialize_multihost(args.coordinator)
 
     cfg = NeRFConfig(
         num_layers=args.layers,
@@ -90,8 +96,14 @@ def main(argv=None) -> None:
     if data_dir == "synthetic":
         data_dir = os.path.join("data", "synthetic_scene")
         if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
-            print("generating synthetic Blender-format dataset...")
-            write_blender_dataset(data_dir, n_frames=16, img_size=args.img_size)
+            if is_primary():
+                print("generating synthetic Blender-format dataset...")
+                write_blender_dataset(data_dir, n_frames=16,
+                                      img_size=args.img_size)
+            if jax.process_count() > 1:  # wait for process 0's write
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("synthetic_dataset")
     dataset = NeRFDataset(data_dir, img_size=args.img_size, phase="train")
     focal = dataset.focal_length
     K = normalized_intrinsics(focal)
@@ -188,23 +200,27 @@ def main(argv=None) -> None:
             break
 
         if i % args.eval_every == 0:
+            # SPMD-safe eval: every process renders (jit over the global
+            # replicated params is collective), only process 0 writes
             view = args.eval_view % len(dataset)
             img = model.render_image(params, K, jnp.asarray(poses[view]),
                                      args.img_size)
             p = float(psnr(jnp.asarray(images[view]), img))
             psnrs.append(p)
             logger.log(i, loss=losses[-1], psnr=p)
-            print(f"step {i} loss {losses[-1]:.4f} psnr {p:.2f} dB")
-            save_triptych(
-                os.path.join(args.log_dir, f"{i}.png"),
-                images[view], np.asarray(img), psnrs, curve_label="PSNR",
-            )
+            if is_primary():
+                print(f"step {i} loss {losses[-1]:.4f} psnr {p:.2f} dB")
+                save_triptych(
+                    os.path.join(args.log_dir, f"{i}.png"),
+                    images[view], np.asarray(img), psnrs, curve_label="PSNR",
+                )
         if args.ckpt_every and i and i % args.ckpt_every == 0:
             ckpt.save(i, params, opt_state)
 
     ckpt.save(args.steps, params, opt_state)
     logger.close()
-    print(f"done; final loss {losses[-1]:.4f}")
+    if is_primary():
+        print(f"done; final loss {losses[-1]:.4f}")
 
 
 if __name__ == "__main__":

@@ -178,6 +178,61 @@ def test_pallas_with_tp_raises():
                         backend="pallas")
 
 
+def test_host_local_batch_to_global(rng):
+    """The multi-host batch placement helper: on a 1-process mesh the
+    assembled global arrays equal the local batch and carry the ray
+    sharding (P('data')); on N processes the same call stitches per-host
+    slices (jax.make_array_from_process_local_data semantics)."""
+    from lomanerf_tpu.parallel import host_local_batch_to_global
+    from lomanerf_tpu.parallel.mesh import data_mesh, ray_sharding
+
+    cfg = NeRFConfig(num_samples=8)
+    mesh = data_mesh()
+    batch = _ray_batch(rng, 16, cfg.num_samples, cfg)
+    g = host_local_batch_to_global(mesh, batch)
+    np.testing.assert_array_equal(np.asarray(g.origins),
+                                  np.asarray(batch.origins))
+    np.testing.assert_array_equal(np.asarray(g.target),
+                                  np.asarray(batch.target))
+    assert g.origins.sharding == ray_sharding(mesh)
+    assert g.t_vals.sharding == ray_sharding(mesh)
+
+
+def test_shard_batch_routes_to_process_local_on_multihost(rng, monkeypatch):
+    """shard_batch must use the process-local global-array assembly when
+    jax.process_count() > 1 (docs/scaling.md step 2)."""
+    import lomanerf_tpu.parallel.mesh as mesh_mod
+
+    cfg = NeRFConfig(num_samples=8)
+    mesh = mesh_mod.data_mesh()
+    batch = _ray_batch(rng, 16, cfg.num_samples, cfg)
+    hits = []
+    monkeypatch.setattr(
+        mesh_mod, "host_local_batch_to_global",
+        lambda m, b, axis="data": hits.append(axis) or b,
+    )
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    mesh_mod.shard_batch(mesh, batch)
+    assert hits == ["data"]
+
+
+def test_metrics_logger_primary_only(tmp_path, monkeypatch):
+    """Only process 0 writes metrics (docs/scaling.md step 4)."""
+    from lomanerf_tpu.train.logging_utils import MetricsLogger
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    log1 = MetricsLogger(str(tmp_path / "h1"))
+    log1.log(0, loss=1.0)
+    log1.close()
+    assert not (tmp_path / "h1" / "metrics.jsonl").exists()
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    log0 = MetricsLogger(str(tmp_path / "h0"))
+    log0.log(0, loss=1.0)
+    log0.close()
+    assert (tmp_path / "h0" / "metrics.jsonl").exists()
+
+
 def test_mirror_spec_chained_optimizer(rng):
     """Opt-state sharding for nested/chained optimizers: an optax.chain
     with TWO scale_by_adam states (colliding state paths) plus empty and
