@@ -164,25 +164,40 @@ def bench_render(args) -> None:
 
     cfg = NeRFConfig.full()
     n = args.rays or 800 * 800
+    chunk = 16384  # rays per render dispatch (the production render path
+    # scans chunks inside one jit, models/nerf._render_chunks; one 640k-ray
+    # pallas call would exceed HBM)
+    n_pad = -(-n // chunk) * chunk
     params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels,
                       cfg.out_channels, cfg.num_layers, cfg.filter_size)
     rng = np.random.default_rng(0)
-    o = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
-    d = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
-    _, t_vals, dists = sample_along_rays(o, d, cfg.near, cfg.far,
-                                         cfg.num_samples)
+    o = jnp.asarray(
+        np.pad(rng.standard_normal((n, 3)), ((0, n_pad - n), (0, 0))),
+        jnp.float32).reshape(-1, chunk, 3)
+    d = jnp.asarray(
+        np.pad(rng.standard_normal((n, 3)), ((0, n_pad - n), (0, 0))),
+        jnp.float32).reshape(-1, chunk, 3)
+    _, t_vals, dists = sample_along_rays(
+        o[0], d[0], cfg.near, cfg.far, cfg.num_samples
+    )
     K = max(args.inner_steps // 4, 2)
 
     @jax.jit
     def run_k(salt):
-        def body(acc, i):
-            # perturbed origins per chained render: the relay cannot
-            # memoize and the fetched probe depends on every render
-            col = fused_nerf.render_rays(
-                params, o * (1.0 + salt + 1e-4 * i.astype(jnp.float32)),
-                d, t_vals, dists, cfg)
-            return acc + jnp.mean(col), acc
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+        def frame(acc, i):
+            # one full 800x800 frame: scan over its ray chunks (the same
+            # shape as the production render); perturbed origins per
+            # chained frame so the relay cannot memoize and the fetched
+            # probe depends on every render
+            def body(a, oc_dc):
+                oc, dc = oc_dc
+                col = fused_nerf.render_rays(
+                    params, oc * (1.0 + salt + 1e-4 * i.astype(jnp.float32)),
+                    dc, t_vals, dists, cfg)
+                return a + jnp.mean(col), None
+            acc, _ = jax.lax.scan(body, acc, (o, d))
+            return acc, None
+        acc, _ = jax.lax.scan(frame, jnp.float32(0.0),
                               jnp.arange(K, dtype=jnp.int32))
         return acc
 
@@ -195,7 +210,7 @@ def bench_render(args) -> None:
         times.append((time.perf_counter() - t0) / K)
         seen.append(v)
     assert len(set(seen)) == len(seen), seen
-    rays_per_s = n / sorted(times)[len(times) // 2]
+    rays_per_s = n_pad / sorted(times)[len(times) // 2]
     print(json.dumps({
         "metric": "nerf_render_rays_per_s_chip[pallas][800x800,full]",
         "value": round(rays_per_s, 1),

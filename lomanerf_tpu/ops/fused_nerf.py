@@ -77,10 +77,25 @@ def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
-def _encode(pts_ref, E_ref, m_ref, precision):
-    """(rows, PW) positional-encoded points: one matmul + one sin pass."""
-    P = _dot(pts_ref[...], E_ref[...], precision)
+def _encode(pk_ref, E_ref, m_ref, precision):
+    """(rows, PW) positional-encoded points: one matmul + one sin pass.
+
+    ``pk_ref`` is the PACKED (8, rows) ray block — sublanes 0-2 = xyz,
+    sublane 3 = dists, 4-7 zero (see ``_packed_ray_layout``).  E is (8, pw)
+    with zero rows for sublanes >= 3, so the transposed matmul
+    pk^T (rows, 8) @ E ignores the dists sublane.  A (rows, 3)-shaped input
+    would cost 128/3x its logical bytes in HBM (TPU tiles the minor dim to
+    128 lanes) — at 800x800xS=128 that is 4.3 GB for points alone."""
+    P = _dot_tt(pk_ref[...], E_ref[...], precision)
     return m_ref[0:1, :] * P + m_ref[1:2, :] * jnp.sin(P + m_ref[2:3, :])
+
+
+def _pk_dists(pk_ref, dsel_ref):
+    """(rows, 1) dists column from the packed block: a one-hot transposed
+    matmul at HIGHEST precision (exact for 1.0 * x products), independent
+    of the config's compute precision."""
+    return _dot_tt(pk_ref[...], dsel_ref[...],
+                   jax.lax.Precision.HIGHEST)[:, 0:1]
 
 
 def _mlp_forward(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
@@ -140,15 +155,16 @@ def _ray_selector(rows, R, S):
 
 
 def _nerf_forward_kernel(
-    pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
+    pk_ref, dsel_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
     *, L, R, S, mode, precision, cdt, ablate="",
 ):
     # ``ablate`` is a perf-debugging hook ("no_sin" / "no_composite" /
     # "no_mlp"); production paths always pass "".
     if "no_sin" in ablate:
-        enc = _dot(pts_ref[...], E_ref[...], precision)
+        enc = _dot_tt(pk_ref[...], E_ref[...], precision)
     else:
-        enc = _encode(pts_ref, E_ref, m_ref, precision)
+        enc = _encode(pk_ref, E_ref, m_ref, precision)
+    dists = _pk_dists(pk_ref, dsel_ref)
     if "no_mlp" in ablate:
         rgba = enc.astype(jnp.float32)
     else:
@@ -158,9 +174,9 @@ def _nerf_forward_kernel(
         lane = _lane_iota(rgba.shape)
         sigma = jnp.sum(jnp.where(lane == 3, rgba, 0.0), axis=1,
                         keepdims=True)
-        w = 1.0 - jnp.exp(-sigma * dists_ref[...])
+        w = 1.0 - jnp.exp(-sigma * dists)
     else:
-        _, _, _, _, _, w = _composite_fwd(rgba, dists_ref[...], S, mode)
+        _, _, _, _, _, w = _composite_fwd(rgba, dists, S, mode)
     pw = rgba.shape[1]
     weighted = (rgba * w).reshape(R, S, pw)
     out_ref[...] = jnp.sum(weighted, axis=1)[:, :128]
@@ -221,14 +237,14 @@ def _bwd_from_dcol(
 
 
 def _nerf_backward_kernel(
-    pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
+    pk_ref, dsel_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
     dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
 ):
     # --- recompute forward (remat) ---
-    enc = _encode(pts_ref, E_ref, m_ref, precision)
+    enc = _encode(pk_ref, E_ref, m_ref, precision)
     acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
-    dists = dists_ref[...]
+    dists = _pk_dists(pk_ref, dsel_ref)
     comp = _composite_fwd(rgba, dists, S, mode)
     pw = rgba.shape[1]
 
@@ -246,7 +262,7 @@ def _nerf_backward_kernel(
 
 
 def _nerf_train_kernel(
-    nrays_ref, pts_ref, dists_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
+    nrays_ref, pk_ref, dsel_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
     loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
 ):
     """ONE pass: forward + sum-MSE loss + backward, activations staying in
@@ -255,10 +271,10 @@ def _nerf_train_kernel(
     cheaper per step.  Equivalent to the reference running
     ``nerf_evaluate_and_march`` + ``grad_...`` in one fused call
     (train_nerf.py:325-478) without recomputing the primal."""
-    enc = _encode(pts_ref, E_ref, m_ref, precision)
+    enc = _encode(pk_ref, E_ref, m_ref, precision)
     acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
-    dists = dists_ref[...]
+    dists = _pk_dists(pk_ref, dsel_ref)
     comp = _composite_fwd(rgba, dists, S, mode)
     w = comp[-1]
     pw = rgba.shape[1]
@@ -304,7 +320,9 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
-    E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
+    E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
+    dsel_np = np.zeros((8, 128), np.float32)
+    dsel_np[3, 0] = 1.0  # dists live on sublane 3 of the packed block
 
     fwd_kernel = functools.partial(
         _nerf_forward_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
@@ -318,18 +336,17 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 
     def common_in_specs():
         return [
-            pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_dim, pw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
 
-    def forward(w_stack, b_stack, pts_flat, dists_flat):
-        n_rows = pts_flat.shape[0]
+    def forward(w_stack, b_stack, pk):
+        n_rows = pk.shape[1]
         n_tiles = n_rows // rows
         w_stack = w_stack.astype(cdt)  # bf16 weights halve their VMEM block
         return pl.pallas_call(
@@ -345,15 +362,15 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * n_rows * pw * (pw * L + in_dim),
-                bytes_accessed=n_rows * (3 + 1) * 4 + (n_rows // S) * 512,
+                bytes_accessed=n_rows * 8 * 4 + (n_rows // S) * 512,
                 transcendentals=n_rows * pw * 2,
             ),
             interpret=_interpret(),
-        )(pts_flat, dists_flat, jnp.asarray(E_np), jnp.asarray(m_np),
+        )(pk, jnp.asarray(dsel_np), jnp.asarray(E_np), jnp.asarray(m_np),
           w_stack, b_stack)
 
-    def backward(w_stack, b_stack, pts_flat, dists_flat, d_colors):
-        n_rows = pts_flat.shape[0]
+    def backward(w_stack, b_stack, pk, d_colors):
+        n_rows = pk.shape[1]
         n_tiles = n_rows // rows
         w_stack = w_stack.astype(cdt)
         in_specs = common_in_specs() + [
@@ -377,25 +394,25 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                 dimension_semantics=("arbitrary",),
             ),
             interpret=_interpret(),
-        )(pts_flat, dists_flat, jnp.asarray(E_np), jnp.asarray(m_np),
+        )(pk, jnp.asarray(dsel_np), jnp.asarray(E_np), jnp.asarray(m_np),
           w_stack, b_stack, d_colors)
         return dw, db
 
     @jax.custom_vjp
-    def render(w_stack, b_stack, pts_flat, dists_flat):
-        return forward(w_stack, b_stack, pts_flat, dists_flat)
+    def render(w_stack, b_stack, pk):
+        return forward(w_stack, b_stack, pk)
 
-    def render_fwd(w_stack, b_stack, pts_flat, dists_flat):
-        out = forward(w_stack, b_stack, pts_flat, dists_flat)
-        return out, (w_stack, b_stack, pts_flat, dists_flat)
+    def render_fwd(w_stack, b_stack, pk):
+        out = forward(w_stack, b_stack, pk)
+        return out, (w_stack, b_stack, pk)
 
     def render_bwd(res, d_out):
-        w_stack, b_stack, pts_flat, dists_flat = res
+        w_stack, b_stack, pk = res
         # only lanes 0..2 of the output are real colors
         lane = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 1)
         d_colors = jnp.where(lane < 3, d_out, 0.0)
-        dw, db = backward(w_stack, b_stack, pts_flat, dists_flat, d_colors)
-        return dw, db, jnp.zeros_like(pts_flat), jnp.zeros_like(dists_flat)
+        dw, db = backward(w_stack, b_stack, pk, d_colors)
+        return dw, db, jnp.zeros_like(pk)
 
     render.defvjp(render_fwd, render_bwd)
     return render
@@ -906,23 +923,24 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
-    E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
+    E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
+    dsel_np = np.zeros((8, 128), np.float32)
+    dsel_np[3, 0] = 1.0
     kernel = functools.partial(
         _nerf_train_kernel, L=L, R=R, S=S, mode=mode, precision=precision,
         cdt=cdt,
     )
     rows = R * S
 
-    def train_call(w_stack, b_stack, pts_flat, dists_flat, tgt_pad, n_rays):
-        n_tiles = pts_flat.shape[0] // rows
+    def train_call(w_stack, b_stack, pk, tgt_pad, n_rays):
+        n_tiles = pk.shape[1] // rows
         w_c = w_stack.astype(cdt)
         in_specs = [
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_dim, pw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -950,28 +968,23 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                 dimension_semantics=("arbitrary",),
             ),
             interpret=_interpret(),
-        )(n_rays, pts_flat, dists_flat, jnp.asarray(E_np), jnp.asarray(m_np),
-          w_c, b_stack, tgt_pad)
+        )(n_rays, pk, jnp.asarray(dsel_np), jnp.asarray(E_np),
+          jnp.asarray(m_np), w_c, b_stack, tgt_pad)
         return loss[0, 0], dw, db
 
     @jax.custom_vjp
-    def fused_loss(w_stack, b_stack, pts_flat, dists_flat, tgt_pad, n_rays):
-        loss, _, _ = train_call(w_stack, b_stack, pts_flat, dists_flat,
-                                tgt_pad, n_rays)
+    def fused_loss(w_stack, b_stack, pk, tgt_pad, n_rays):
+        loss, _, _ = train_call(w_stack, b_stack, pk, tgt_pad, n_rays)
         return loss
 
-    def fused_loss_fwd(w_stack, b_stack, pts_flat, dists_flat, tgt_pad,
-                       n_rays):
-        loss, dw, db = train_call(w_stack, b_stack, pts_flat, dists_flat,
-                                  tgt_pad, n_rays)
-        return loss, (dw, db, pts_flat.shape, dists_flat.shape,
-                      tgt_pad.shape)
+    def fused_loss_fwd(w_stack, b_stack, pk, tgt_pad, n_rays):
+        loss, dw, db = train_call(w_stack, b_stack, pk, tgt_pad, n_rays)
+        return loss, (dw, db, pk.shape, tgt_pad.shape)
 
     def fused_loss_bwd(res, g):
         # data cotangents structurally zero (see nerf_train_loss docstring)
-        dw, db, pts_shape, dists_shape, tgt_shape = res
-        return (g * dw, g * db, jnp.zeros(pts_shape, jnp.float32),
-                jnp.zeros(dists_shape, jnp.float32),
+        dw, db, pk_shape, tgt_shape = res
+        return (g * dw, g * db, jnp.zeros(pk_shape, jnp.float32),
                 jnp.zeros(tgt_shape, jnp.float32),
                 np.zeros((1, 1), jax.dtypes.float0))
 
@@ -996,6 +1009,31 @@ def _pick_tile_T(S, ps, L, itemsize, n_bufs=6,
     while R_T < 1024 and est(R_T * 2) <= vmem_budget:
         R_T *= 2
     return R_T if est(R_T) <= vmem_budget else 0
+
+
+def _packed_ray_layout(origins, directions, t_vals, dists, S, tile_rays):
+    """(8, n_pad*S) packed ray block for the row-major kernels: sublanes
+    0-2 = xyz sample points, sublane 3 = dists, 4-7 zero.
+
+    The minor (lane) dim is the row count, so HBM stores ~8x the logical
+    ray bytes instead of the 42x/128x the old (rows, 3) / (rows, 1) layouts
+    paid to TPU (8, 128) tiling — the difference between a 640k-ray
+    flagship render fitting comfortably and exceeding HBM (16.06 GB > 15.75
+    measured on v5e)."""
+    n = origins.shape[0]
+    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+    oT = pad_rays(origins.astype(jnp.float32)).T  # (3, n_pad)
+    dT = pad_rays(directions.astype(jnp.float32)).T
+    t = pad_rays(t_vals.astype(jnp.float32))  # (n_pad, S)
+    pts3 = oT[:, :, None] + dT[:, :, None] * t[None, :, :]  # (3, n_pad, S)
+    dist1 = pad_rays(dists.astype(jnp.float32))[None]  # (1, n_pad, S)
+    pk = jnp.concatenate([pts3, dist1], axis=0)  # (4, n_pad, S)
+    pk = jnp.pad(pk, ((0, 4), (0, 0), (0, 0))).reshape(8, n_pad * S)
+    return pk, n_pad, pad_rays
 
 
 def _transposed_ray_layout(origins, directions, t_vals, dists, S, tile_rays):
@@ -1060,18 +1098,9 @@ def nerf_train_loss(
         tile_rays = pu.pick_tile_rays(S, pw, n_live_buffers=L + 5,
                                       itemsize=itemsize)
     n = origins.shape[0]
-    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
-
-    def pad_rays(x):
-        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
-
-    o = pad_rays(origins.astype(jnp.float32))
-    d = pad_rays(directions.astype(jnp.float32))
-    t = pad_rays(t_vals.astype(jnp.float32))
-    pts_flat = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(
-        n_pad * S, 3
+    pk, n_pad, pad_rays = _packed_ray_layout(
+        origins, directions, t_vals, dists, S, tile_rays
     )
-    dists_flat = pad_rays(dists.astype(jnp.float32)).reshape(n_pad * S, 1)
     tgt = pad_rays(target.astype(jnp.float32))
     tgt_pad = jnp.pad(tgt, ((0, 0), (0, 128 - tgt.shape[1])))
 
@@ -1081,7 +1110,7 @@ def nerf_train_loss(
         highest_precision, compute_dtype,
     )
     n_smem = jnp.full((1, 1), n, jnp.int32)
-    return fused(w_stack, b_stack, pts_flat, dists_flat, tgt_pad, n_smem)
+    return fused(w_stack, b_stack, pk, tgt_pad, n_smem)
 
 
 def render_rays(
@@ -1134,27 +1163,18 @@ def render_rays(
         tile_rays = pu.pick_tile_rays(S, pw, n_live_buffers=L + 4,
                                       itemsize=itemsize)
     n = origins.shape[0]
-    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
-
-    def pad_rays(x):
-        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
-
-    o = pad_rays(origins.astype(jnp.float32))
-    d = pad_rays(directions.astype(jnp.float32))
-    t = pad_rays(t_vals.astype(jnp.float32))
-    # sample points computed by XLA (12 B/row of HBM; keeps the kernel free
-    # of cross-sample sublane broadcasts)
-    pts_flat = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(
-        n_pad * S, 3
+    # sample points computed by XLA in the packed (8, rows) layout (32 B/row
+    # of HBM; keeps the kernel free of cross-sample sublane broadcasts)
+    pk, n_pad, _ = _packed_ray_layout(
+        origins, directions, t_vals, dists, S, tile_rays
     )
-    dists_flat = pad_rays(dists.astype(jnp.float32)).reshape(n_pad * S, 1)
 
     w_stack, b_stack = pu.stack_padded_params(params, pw)
     render = _make_render_fns(
         L, tile_rays, S, pw, 3, config.num_encoding_functions, config.mode,
         highest_precision, compute_dtype, kw_ablate,
     )
-    out = render(w_stack, b_stack, pts_flat, dists_flat)
+    out = render(w_stack, b_stack, pk)
     return out[:n, :3]
 
 

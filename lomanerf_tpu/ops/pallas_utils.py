@@ -59,6 +59,18 @@ def build_encoding_consts(
     return E, masks
 
 
+def build_encoding_consts_pk(
+    in_dim: int, num_functions: int, pw: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Packed-layout encoding constants for the row-major kernels: E padded
+    to 8 sublanes (rows 0..in_dim-1 = coords; the dists sublane 3.. and the
+    zero sublanes contribute nothing) so ``P = pk^T (rows, 8) @ E8``."""
+    E, m = build_encoding_consts(in_dim, num_functions, pw)
+    E8 = np.zeros((8, pw), np.float32)
+    E8[:in_dim] = E
+    return E8, m
+
+
 def build_encoding_consts_T(
     in_dim: int, num_functions: int, ps: int
 ) -> Tuple[np.ndarray, np.ndarray]:
