@@ -533,6 +533,36 @@ def _nerf_train_kernel_T(
     """Transposed single-pass train kernel: forward + sum-MSE + backward.
     Outputs dW in W^T layout (L, PS, PS) and db as (PS, L) columns."""
     rows = R * S
+    if "enc_nocat" in ablate or "enc_notrans" in ablate:
+        # stage-isolation probes for the encode floor (PERF.md roofline):
+        # enc_nocat   = DMA + transcendentals + recurrence, NO concatenate
+        # enc_notrans = DMA + the (PS, rows) concatenate of (3, rows)
+        #               blocks, NO transcendentals/recurrence
+        p = ptsT_ref[...][:3, :]
+        if "enc_nocat" in ablate:
+            s = jnp.sin(p)
+            c = jnp.cos(p)
+            acc = p + s + c
+            for _ in range(1, num_functions):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                acc = acc + s + c
+            probe = acc
+        else:
+            blocks = [p * (0.5 * k + 1.0) for k in range(2 * num_functions + 1)]
+            enc = jnp.concatenate(blocks, axis=0)
+            pad = w_ref.shape[1] - enc.shape[0]
+            if pad:
+                enc = jnp.pad(enc, ((0, pad), (0, 0)))
+            probe = enc
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+            dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+            db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+        loss_ref[...] += jnp.sum(probe[:1, :1], axis=0, keepdims=True)
+        return
     if "enc_only" in ablate:  # measure launch+DMA+encode floor
         enc = _enc()
 
