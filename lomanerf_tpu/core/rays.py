@@ -74,9 +74,14 @@ def sample_along_rays(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample points along rays at uniform (optionally stratified) depths.
 
-    Returns ``(points, t_vals, dists)`` with shapes ``(N, S, 3)``, ``(N, S)``
-    (or ``(S,)`` broadcast when unjittered), ``(N, S)``.  ``dists[..., -1]``
-    is the reference's 1e8 sentinel.
+    Returns ``(points, t_vals, dists)``.  ``points`` is ``(N, S, 3)``.
+    Unjittered (``key=None``, the reference's linspace sampling,
+    train_nerf.py:289-299), every ray shares the same depths, so ``t_vals``
+    and ``dists`` are returned as ``(S,)`` — downstream consumers broadcast,
+    and the fused kernels use the 1-D shape as the per-ray-uniform contract
+    that enables in-kernel sample-point generation (ops/fused_nerf s-major
+    layout).  Stratified (``key`` given), they are per-ray ``(N, S)``.
+    ``dists[..., -1]`` is the reference's 1e8 sentinel.
     """
     t = jnp.linspace(near, far, num_samples, dtype=jnp.float32)
     n = origins.shape[0]
@@ -85,8 +90,6 @@ def sample_along_rays(
         bin_width = (far - near) / num_samples
         jitter = jax.random.uniform(key, (n, num_samples), dtype=jnp.float32)
         t = t[None, :] + jitter * bin_width
-    else:
-        t = jnp.broadcast_to(t, (n, num_samples))
     points = origins[:, None, :] + directions[:, None, :] * t[..., None]
     dists = jnp.concatenate(
         [t[..., 1:] - t[..., :-1], jnp.full_like(t[..., :1], 1e8)], axis=-1

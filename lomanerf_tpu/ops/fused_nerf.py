@@ -493,20 +493,23 @@ def _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
     return acts
 
 
-def _composite_fwd_T(rgba, distsT, S, mode):
+def _composite_fwd_T(rgba, distsT, S, mode, stride=1):
     """Transposed compositing: all per-sample scalars are (1, rows).
     Density is a static SUBLANE slice (rgba[3:4]) — free, unlike the
-    row-major masked-sum over lanes."""
+    row-major masked-sum over lanes.  ``stride`` selects the lane order:
+    1 = ray-major (samples contiguous), R = s-major (rays contiguous,
+    sample blocks R lanes apart) — the scan recurrences are identical with
+    rolls scaled by the stride."""
     sigma = rgba[3:4, :].astype(jnp.float32)
     e = jnp.exp(-sigma * distsT)
     alpha = 1.0 - e
     c = e + EPS
-    P = pu.seg_inclusive_cumprod_lanes(c, S)
-    s_idx = pu._sample_index_lanes(alpha.shape[1], S)
+    P = pu.seg_inclusive_cumprod_lanes(c, S, stride)
+    s_idx = pu._sample_index_lanes(alpha.shape[1], S, stride)
     if mode == "loma":
         T = jnp.where(s_idx == 0, 1.0, P)
     else:
-        T = pu.seg_shift_down_lanes(P, S, fill=1.0)
+        T = pu.seg_shift_down_lanes(P, S, fill=1.0, stride=stride)
     w = alpha * T
     return sigma, alpha, c, P, T, w
 
@@ -630,12 +633,13 @@ def _nerf_train_kernel_T(
 
 def _bwd_from_dcol_T(
     dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
-    *, L, S, mode, precision, cdt, ablate="",
+    *, L, S, mode, precision, cdt, ablate="", stride=1,
 ):
     """Shared transposed backward: from per-row color cotangents ``dcol8``
     (8, rows; sublanes 0..2 real, already broadcast across each ray's
     samples) and the in-VMEM forward state, accumulate dW^T/db across the
-    sequential grid."""
+    sequential grid.  ``stride`` as in _composite_fwd_T (1 = ray-major
+    lanes, R = s-major lanes)."""
     sigma, alpha, c, P, T, w = comp
     ps = rgba.shape[0]
     rows = rgba.shape[1]
@@ -648,18 +652,18 @@ def _bwd_from_dcol_T(
     sub = _sublane_iota(rgba.shape)
     rgb_mask = (sub < 3).astype(jnp.float32)
     d_rgb = dcol_b * w * rgb_mask
-    s_idx = pu._sample_index_lanes(rows, S)
+    s_idx = pu._sample_index_lanes(rows, S, stride)
     if "no_scans" in ablate:
         d_c = jnp.zeros_like(c)
     elif mode == "loma":
         d_T = jnp.where(s_idx == 0, 0.0, d_w * alpha)
-        suf = pu.seg_suffix_sum_lanes(d_T * P, S)
+        suf = pu.seg_suffix_sum_lanes(d_T * P, S, stride)
         d_c = suf / c
     else:
         d_T_incl = d_w * alpha
-        rolled = pltpu.roll(d_T_incl, rows - 1, axis=1)
+        rolled = pltpu.roll(d_T_incl, rows - stride, axis=1)
         d_P = jnp.where(s_idx < S - 1, rolled, 0.0)
-        suf = pu.seg_suffix_sum_lanes(d_P * P, S)
+        suf = pu.seg_suffix_sum_lanes(d_P * P, S, stride)
         d_c = suf / c
     d_alpha = d_w * T - d_c
     d_sigma = d_alpha * distsT * (1.0 - alpha)  # (1, rows)
@@ -941,6 +945,366 @@ def _nerf_train_loss_T(
     return fused(w_stack, b_stack, ptsT, distsT, tgtT, n_smem)
 
 
+# ---------------------------------------------------------------------------
+# s-major transposed layout (narrow MLPs, uniform ray depths): sample points
+# are generated IN-KERNEL from per-ray origin/direction blocks.
+#
+# The round-3 stage ablations (artifacts/r3_prep_ablate.log) showed the
+# "encode" stage of the ray-major transposed kernel was 93% XLA-side input
+# prep: building (8, rows) pts^T costs an 11.4 ms minor-dim-3 transpose of
+# 94 MB of points, and the (8, rows) tgt^T repeat+transpose another 4 ms —
+# 15.5 of the 45.8 ms parity step.  Generating points inside the kernel
+# removes that prep AND shrinks the step's HBM traffic from O(N*S) to O(N):
+# per tile the kernel reads R rays (origin, direction, target: 96 B/ray)
+# instead of R*S rows (68 B/row = 2040 B/ray at S=30).
+#
+# Within a tile, lanes are ordered s*R + r (s-major) so each sample block is
+# a lane-ALIGNED copy of the (8, R) ray block: pts[s] = o + d * t[s] is two
+# FMAs per block, and the per-ray targets/cotangents broadcast to all
+# samples by concatenating S aligned copies.  The segmented compositing
+# scans keep their log2(S) masked-roll structure with rolls scaled by R
+# (pallas_utils stride parameter).  Requires per-ray-uniform t_vals/dists
+# ((S,) shaped — the production and parity sampling; sample_along_rays
+# returns that when unjittered); stratified per-ray depths fall back to the
+# ray-major kernels.
+# ---------------------------------------------------------------------------
+
+
+def _build_rows_smajor(rays_ref, t_ref, d_ref, S, R):
+    """(ptsT, distsT) for one (8, R) ray block: sublanes 0-2 of ``rays``
+    are origin xyz, 3-5 direction xyz; ``t_ref``/``d_ref`` are (1, S) SMEM
+    per-sample depth/step scalars.  Returns (8, S*R) s-major sample points
+    (sublanes 0-2 = xyz, rest zero) and (1, S*R) dists."""
+    rays = rays_ref[...]
+    sub = _sublane_iota(rays.shape)
+    o3 = jnp.where(sub < 3, rays, 0.0)
+    d3 = jnp.where(sub < 3, pltpu.roll(rays, 5, axis=0), 0.0)
+    pts_blocks = [o3 + d3 * t_ref[0, s] for s in range(S)]
+    dist_blocks = [
+        jnp.full((1, R), d_ref[0, s], jnp.float32) for s in range(S)
+    ]
+    return (jnp.concatenate(pts_blocks, axis=1),
+            jnp.concatenate(dist_blocks, axis=1))
+
+
+def _nerf_train_kernel_S(
+    nrays_ref, t_ref, d_ref, rays_ref, w_ref, b_ref, tgt_ref,
+    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
+    num_functions, ablate="",
+):
+    """S-major single-pass train kernel: in-kernel point generation +
+    forward + sum-MSE + backward.  Same outputs as _nerf_train_kernel_T."""
+    ps = w_ref.shape[1]
+    ptsT, distsT = _build_rows_smajor(rays_ref, t_ref, d_ref, S, R)
+    enc = _encode_T_rec(ptsT, num_functions, ps)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    if "enc_only" in ablate:  # measure launch+DMA+pointgen+encode floor
+        loss_ref[...] += jnp.sum(
+            enc[:1, :1] + distsT[:1, :1], axis=0, keepdims=True
+        )
+        return
+    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    if "no_scans" in ablate:  # perf hook: skip the compositing scans
+        sigma = rgba[3:4, :].astype(jnp.float32)
+        alpha = 1.0 - jnp.exp(-sigma * distsT)
+        c = P = T = jnp.ones_like(alpha)
+        w = alpha
+        comp = (sigma, alpha, c, P, T, w)
+        suf = (rgba * w)[:8, :]
+    else:
+        comp = _composite_fwd_T(rgba, distsT, S, mode, stride=R)
+        w = comp[-1]
+        suf = pu.seg_suffix_sum_lanes((rgba * w)[:8, :], S, stride=R)
+    ray_col = suf[:, :R]  # lanes 0..R-1 are each ray's s == 0 position
+    tgt = tgt_ref[...]  # (8, R): per-ray targets, no cross-sample repeat
+    sub8 = _sublane_iota(tgt.shape)
+    lane = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 1)
+    valid = (sub8 < 3) & (pl.program_id(0) * R + lane < nrays_ref[0, 0])
+    diff = jnp.where(valid, ray_col - tgt, 0.0)  # (8, R)
+
+    sq = jnp.sum(diff * diff, axis=1, keepdims=True)  # (8, 1)
+    loss_ref[...] += jnp.sum(sq, axis=0, keepdims=True)
+
+    if "no_bwd" in ablate:  # perf-ablation hook: forward+loss only
+        return
+
+    # broadcast per-ray cotangents to all samples: S aligned lane copies
+    dcol8 = jnp.concatenate([2.0 * diff] * S, axis=1)  # (8, rows)
+    _bwd_from_dcol_T(dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
+                     L=L, S=S, mode=mode, precision=precision, cdt=cdt,
+                     ablate=ablate, stride=R)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
+                     compute_dtype, ablate=""):
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
+    cdt = jnp.dtype(compute_dtype)
+    kernel = functools.partial(
+        _nerf_train_kernel_S, L=L, R=R, S=S, mode=mode, precision=precision,
+        cdt=cdt, num_functions=num_functions, ablate=ablate,
+    )
+
+    def train_call(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_rays):
+        n_tiles = raysT.shape[1] // R
+        w_c = w_stack.astype(cdt)
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        loss, dw, db = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ps, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
+                jax.ShapeDtypeStruct((ps, L), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(n_rays, t_row, d_row, raysT, w_c, b_stack, tgtT)
+        return loss[0, 0], dw, db
+
+    @jax.custom_vjp
+    def fused_loss(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_rays):
+        loss, _, _ = train_call(w_stack, b_stack, raysT, tgtT, t_row, d_row,
+                                n_rays)
+        return loss
+
+    def fused_loss_fwd(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_rays):
+        loss, dw, db = train_call(w_stack, b_stack, raysT, tgtT, t_row,
+                                  d_row, n_rays)
+        return loss, (dw, db, raysT.shape, tgtT.shape, t_row.shape,
+                      d_row.shape)
+
+    def fused_loss_bwd(res, g):
+        # data cotangents structurally zero (see nerf_train_loss docstring)
+        dw, db, rays_shape, tgt_shape, t_shape, d_shape = res
+        return (g * dw, g * db, jnp.zeros(rays_shape, jnp.float32),
+                jnp.zeros(tgt_shape, jnp.float32),
+                jnp.zeros(t_shape, jnp.float32),
+                jnp.zeros(d_shape, jnp.float32),
+                np.zeros((1, 1), jax.dtypes.float0))
+
+    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
+    return fused_loss
+
+
+def _smajor_ray_layout(origins, directions, target, tile_rays):
+    """Per-RAY inputs for the s-major kernels: (8, n_pad) rays (sublanes
+    0-2 origin, 3-5 direction) and (8, n_pad) targets.  O(N) bytes — the
+    kernel generates the O(N*S) sample rows itself."""
+    n = origins.shape[0]
+    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    raysT = jnp.concatenate(
+        [pad_rays(origins.astype(jnp.float32)).T,
+         pad_rays(directions.astype(jnp.float32)).T,
+         jnp.zeros((2, n_pad), jnp.float32)], axis=0)
+    tgtT = None
+    if target is not None:
+        tgtT = jnp.pad(pad_rays(target.astype(jnp.float32)).T,
+                       ((0, 5), (0, 0)))
+    return raysT, tgtT, n_pad
+
+
+def _nerf_train_loss_S(
+    params, origins, directions, t_1d, dists_1d, target, config,
+    tile_rays: int, highest_precision: bool, compute_dtype: str, ps: int,
+    ablate: str = "",
+) -> jnp.ndarray:
+    L = len(params["w"])
+    S = config.num_samples
+    n = origins.shape[0]
+    raysT, tgtT, _ = _smajor_ray_layout(origins, directions, target,
+                                        tile_rays)
+    t_row = jnp.asarray(t_1d, jnp.float32).reshape(1, S)
+    d_row = jnp.asarray(dists_1d, jnp.float32).reshape(1, S)
+    w_stack, b_stack = pu.stack_padded_params_T(params, ps)
+    fused = _make_train_fn_S(
+        L, tile_rays, S, ps, 3, config.num_encoding_functions, config.mode,
+        highest_precision, compute_dtype, ablate,
+    )
+    n_smem = jnp.full((1, 1), n, jnp.int32)
+    return fused(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_smem)
+
+
+def _nerf_forward_kernel_S(
+    t_ref, d_ref, rays_ref, w_ref, b_ref, out_ref,
+    *, L, R, S, mode, precision, cdt, num_functions,
+):
+    """S-major render forward: writes each ray's color directly as an
+    (8, R) per-ray block (sublanes 0..2) — no O(N*S) output, no XLA-side
+    every-S-th-lane gather."""
+    ptsT, distsT = _build_rows_smajor(rays_ref, t_ref, d_ref, S, R)
+    enc = _encode_T_rec(ptsT, num_functions, w_ref.shape[1])
+    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    w = _composite_fwd_T(rgba, distsT, S, mode, stride=R)[-1]
+    suf = pu.seg_suffix_sum_lanes((rgba * w)[:8, :], S, stride=R)
+    out_ref[...] = suf[:, :R]
+
+
+def _nerf_backward_kernel_S(
+    t_ref, d_ref, rays_ref, w_ref, b_ref, dcol_ref, dw_ref, db_ref,
+    *, L, R, S, mode, precision, cdt, num_functions,
+):
+    """S-major remat backward for the render path; dcol is the (8, R)
+    per-ray color cotangent block (broadcast across samples in-kernel)."""
+    ptsT, distsT = _build_rows_smajor(rays_ref, t_ref, d_ref, S, R)
+    enc = _encode_T_rec(ptsT, num_functions, w_ref.shape[1])
+    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    comp = _composite_fwd_T(rgba, distsT, S, mode, stride=R)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    dcol8 = jnp.concatenate([dcol_ref[...]] * S, axis=1)
+    _bwd_from_dcol_T(dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
+                     L=L, S=S, mode=mode, precision=precision, cdt=cdt,
+                     stride=R)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_render_fns_S(L, R, S, ps, in_dim, num_functions, mode,
+                       highest_prec, compute_dtype="float32"):
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
+    cdt = jnp.dtype(compute_dtype)
+    fwd_kernel = functools.partial(
+        _nerf_forward_kernel_S, L=L, R=R, S=S, mode=mode, precision=precision,
+        cdt=cdt, num_functions=num_functions,
+    )
+    bwd_kernel = functools.partial(
+        _nerf_backward_kernel_S, L=L, R=R, S=S, mode=mode,
+        precision=precision, cdt=cdt, num_functions=num_functions,
+    )
+
+    def common_in_specs():
+        return [
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def forward(w_stack, b_stack, raysT, t_row, d_row):
+        n_tiles = raysT.shape[1] // R
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(n_tiles,),
+            in_specs=common_in_specs(),
+            out_specs=pl.BlockSpec((8, R), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, raysT.shape[1]), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(t_row, d_row, raysT, w_stack.astype(cdt), b_stack)
+
+    def backward(w_stack, b_stack, raysT, t_row, d_row, dcolT):
+        n_tiles = raysT.shape[1] // R
+        in_specs = common_in_specs() + [
+            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ps, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
+                jax.ShapeDtypeStruct((ps, L), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(t_row, d_row, raysT, w_stack.astype(cdt), b_stack, dcolT)
+
+    @jax.custom_vjp
+    def render(w_stack, b_stack, raysT, t_row, d_row):
+        return forward(w_stack, b_stack, raysT, t_row, d_row)
+
+    def render_fwd(w_stack, b_stack, raysT, t_row, d_row):
+        out = forward(w_stack, b_stack, raysT, t_row, d_row)
+        return out, (w_stack, b_stack, raysT, t_row, d_row)
+
+    def render_bwd(res, d_out):
+        w_stack, b_stack, raysT, t_row, d_row = res
+        # only sublanes 0..2 (rgb) of the per-ray output are real
+        sub = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 0)
+        dcolT = jnp.where(sub < 3, d_out, 0.0)
+        dw, db = backward(w_stack, b_stack, raysT, t_row, d_row, dcolT)
+        return (dw, db, jnp.zeros_like(raysT), jnp.zeros_like(t_row),
+                jnp.zeros_like(d_row))
+
+    render.defvjp(render_fwd, render_bwd)
+    return render
+
+
+def _pick_tile_S(S, ps, L, itemsize, n_bufs=6,
+                 vmem_budget=6 * 1024 * 1024) -> int:
+    """Ray tile for the s-major kernels: R is a multiple of 128 (sample
+    blocks concatenate at vreg-aligned lane offsets), grown while the
+    conservative VMEM model fits.  Returns 0 when even R=128 does not."""
+    R = 128
+
+    def est(r):
+        return r * S * ps * itemsize * (L + n_bufs)
+
+    if est(R) > vmem_budget:
+        return 0
+    while R < 1024 and est(R * 2) <= vmem_budget:
+        R *= 2
+    return R
+
+
 @functools.lru_cache(maxsize=None)
 def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                    compute_dtype):
@@ -1116,6 +1480,23 @@ def nerf_train_loss(
     # tile fits VMEM; wide configs keep the row-major layout (lanes full)
     ps = pu.round_up(max(max(widths), 8), 8)
     itemsize = 2 if compute_dtype == "bfloat16" else 4
+    # per-ray-uniform depths ((S,) t_vals/dists, the unjittered
+    # sample_along_rays contract) enable the s-major kernels: points are
+    # generated in-kernel from O(N) per-ray inputs instead of prepared by
+    # XLA as O(N*S) transposed rows (15.5 ms of the 45.8 ms parity step —
+    # artifacts/r3_prep_ablate.log)
+    uniform = t_vals.ndim == 1 and dists.ndim == 1
+    if ps <= 64 and tile_rays == 0 and uniform:
+        R_S = _pick_tile_S(S, ps, L, itemsize, n_bufs=6)
+        if R_S:
+            return _nerf_train_loss_S(
+                params, origins, directions, t_vals, dists, target, config,
+                R_S, highest_precision, compute_dtype, ps,
+            )
+    if uniform:  # older layouts take per-ray (N, S) depth arrays
+        n0 = origins.shape[0]
+        t_vals = jnp.broadcast_to(t_vals, (n0, S))
+        dists = jnp.broadcast_to(dists, (n0, S))
     if ps <= 64 and tile_rays == 0:
         R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=6)
         if R_T:
@@ -1171,6 +1552,27 @@ def render_rays(
     widths = [config.in_channels] + [w.shape[1] for w in params["w"]]
     ps = pu.round_up(max(max(widths), 8), 8)
     itemsize = 2 if compute_dtype == "bfloat16" else 4
+    uniform = t_vals.ndim == 1 and dists.ndim == 1
+    if ps <= 64 and tile_rays == 0 and not kw_ablate and uniform:
+        # s-major: in-kernel point generation from O(N) per-ray inputs,
+        # per-ray (8, n_pad) output (no every-S-th-lane gather)
+        R_S = _pick_tile_S(S, ps, L, itemsize, n_bufs=5)
+        if R_S:
+            n = origins.shape[0]
+            raysT, _, _ = _smajor_ray_layout(origins, directions, None, R_S)
+            t_row = jnp.asarray(t_vals, jnp.float32).reshape(1, S)
+            d_row = jnp.asarray(dists, jnp.float32).reshape(1, S)
+            w_stack, b_stack = pu.stack_padded_params_T(params, ps)
+            render = _make_render_fns_S(
+                L, R_S, S, ps, 3, config.num_encoding_functions,
+                config.mode, highest_precision, compute_dtype,
+            )
+            out8 = render(w_stack, b_stack, raysT, t_row, d_row)
+            return out8[:3, :n].T
+    if uniform:  # older layouts take per-ray (N, S) depth arrays
+        n0 = origins.shape[0]
+        t_vals = jnp.broadcast_to(t_vals, (n0, S))
+        dists = jnp.broadcast_to(dists, (n0, S))
     if ps <= 64 and tile_rays == 0 and not kw_ablate:
         # narrow MLPs: transposed layout (features on sublanes) — same
         # structural win as the train kernel (PERF.md "transposed layout")

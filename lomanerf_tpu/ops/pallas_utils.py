@@ -183,51 +183,57 @@ def seg_shift_down(x: jnp.ndarray, num_samples: int, fill: float) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 
-def _sample_index_lanes(rows: int, num_samples: int) -> jnp.ndarray:
+def _sample_index_lanes(rows: int, num_samples: int,
+                        stride: int = 1) -> jnp.ndarray:
+    """Per-lane sample index.  ``stride=1`` is the ray-major order (a ray's
+    S samples contiguous: lane = ray*S + s); ``stride=R`` is the s-major
+    order (lane = s*R + ray within a tile of R rays) used by the
+    in-kernel-point-generation kernels, where the same segmented-scan
+    recurrences apply with rolls scaled by the stride."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
-    return col % num_samples
+    return (col // stride) % num_samples
 
 
-def seg_inclusive_cumprod_lanes(x, num_samples: int):
+def seg_inclusive_cumprod_lanes(x, num_samples: int, stride: int = 1):
     rows = x.shape[1]
-    s_idx = _sample_index_lanes(rows, num_samples)
+    s_idx = _sample_index_lanes(rows, num_samples, stride)
     shift = 1
     while shift < num_samples:
-        rolled = pltpu.roll(x, shift, axis=1)
+        rolled = pltpu.roll(x, shift * stride, axis=1)
         x = x * jnp.where(s_idx >= shift, rolled, 1.0)
         shift *= 2
     return x
 
 
-def seg_suffix_sum_lanes(x, num_samples: int):
+def seg_suffix_sum_lanes(x, num_samples: int, stride: int = 1):
     rows = x.shape[1]
-    s_idx = _sample_index_lanes(rows, num_samples)
+    s_idx = _sample_index_lanes(rows, num_samples, stride)
     shift = 1
     while shift < num_samples:
-        rolled = pltpu.roll(x, rows - shift, axis=1)
+        rolled = pltpu.roll(x, rows - shift * stride, axis=1)
         x = x + jnp.where(s_idx < num_samples - shift, rolled, 0.0)
         shift *= 2
     return x
 
 
-def seg_broadcast_first_lanes(x, num_samples: int):
+def seg_broadcast_first_lanes(x, num_samples: int, stride: int = 1):
     """out[s] = x[0] within each segment (broadcast the segment-start value
     to every position): after k doubling steps y[s] = x[max(0, s-(2^k-1))],
     so ceil(log2 S) masked rolls converge to the s=0 value."""
     rows = x.shape[1]
-    s_idx = _sample_index_lanes(rows, num_samples)
+    s_idx = _sample_index_lanes(rows, num_samples, stride)
     shift = 1
     while shift < num_samples:
-        rolled = pltpu.roll(x, shift, axis=1)
+        rolled = pltpu.roll(x, shift * stride, axis=1)
         x = jnp.where(s_idx >= shift, rolled, x)
         shift *= 2
     return x
 
 
-def seg_shift_down_lanes(x, num_samples: int, fill: float):
+def seg_shift_down_lanes(x, num_samples: int, fill: float, stride: int = 1):
     rows = x.shape[1]
-    s_idx = _sample_index_lanes(rows, num_samples)
-    rolled = pltpu.roll(x, 1, axis=1)
+    s_idx = _sample_index_lanes(rows, num_samples, stride)
+    rolled = pltpu.roll(x, stride, axis=1)
     return jnp.where(s_idx >= 1, rolled, fill)
 
 

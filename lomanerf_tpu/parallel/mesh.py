@@ -85,6 +85,13 @@ def ray_sharding(mesh: Mesh, axis: str = "data"):
     return NamedSharding(mesh, P(axis))
 
 
+def _leaf_sharding(mesh: Mesh, x, axis: str):
+    """Per-ray (rank >= 2) leaves shard on the leading axis; 1-D leaves
+    (e.g. the (S,) uniform t_vals/dists of unjittered sampling) are
+    replicated — every shard needs all S depths."""
+    return NamedSharding(mesh, P(axis) if np.ndim(x) >= 2 else P())
+
+
 def host_local_batch_to_global(mesh: Mesh, batch, axis: str = "data"):
     """Assemble GLOBAL ray-sharded arrays from each host's LOCAL batch.
 
@@ -93,19 +100,20 @@ def host_local_batch_to_global(mesh: Mesh, batch, axis: str = "data"):
     per-host slices into global jax.Arrays of leading dimension
     ``process_count * local_n`` via
     ``jax.make_array_from_process_local_data`` — no cross-host data
-    movement, each host's rows land on its local devices."""
-    s = ray_sharding(mesh, axis)
+    movement, each host's rows land on its local devices.  1-D leaves are
+    replicated (every host passes the identical full array)."""
     return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        lambda x: jax.make_array_from_process_local_data(
+            _leaf_sharding(mesh, x, axis), np.asarray(x)),
         batch,
     )
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a per-host batch pytree onto the mesh with rays sharded on
-    ``axis``: a plain sharded device_put on one host, the process-local
-    global-array assembly on a multi-host mesh."""
+    ``axis`` (1-D leaves replicated): a plain sharded device_put on one
+    host, the process-local global-array assembly on a multi-host mesh."""
     if jax.process_count() > 1:
         return host_local_batch_to_global(mesh, batch, axis)
-    s = ray_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, _leaf_sharding(mesh, x, axis)), batch)

@@ -30,12 +30,17 @@ from lomanerf_tpu.parallel.tp import tp_mlp_apply, tp_param_specs
 
 
 class RayBatch(NamedTuple):
-    """One training batch of rays (leading dim sharded over ``data``)."""
+    """One training batch of rays (leading dim sharded over ``data``).
+
+    ``t_vals``/``dists`` are per-ray ``(N, S)`` for stratified sampling, or
+    ``(S,)`` replicated for uniform depths (the unjittered
+    sample_along_rays contract — pass ``uniform_depths=True`` to
+    make_train_step so their shard_map specs replicate)."""
 
     origins: jnp.ndarray  # (N, 3)
     directions: jnp.ndarray  # (N, 3)
-    t_vals: jnp.ndarray  # (N, S)
-    dists: jnp.ndarray  # (N, S)
+    t_vals: jnp.ndarray  # (N, S) or (S,)
+    dists: jnp.ndarray  # (N, S) or (S,)
     target: jnp.ndarray  # (N, 3)
 
 
@@ -131,6 +136,7 @@ def make_train_step(
     tp: bool = False,
     backend: str = "jnp",
     donate: bool = True,
+    uniform_depths: bool = False,
 ):
     """Build a jitted sharded NeRF train step.
 
@@ -140,6 +146,8 @@ def make_train_step(
             their values are not captured).
         tp: also tensor-parallel the MLP over the ``model`` mesh axis.
         backend: "jnp" or "pallas" for the per-shard render.
+        uniform_depths: batches carry (S,) t_vals/dists shared by all rays
+            (replicated over the mesh) instead of per-ray (N, S).
 
     Returns:
         ``step(params, opt_state, batch) -> (params, opt_state, loss)``.
@@ -156,7 +164,8 @@ def make_train_step(
     else:
         mlp_fn = functools.partial(mlp_apply, head="rgba")
     p_spec, o_spec = state_specs(config, params, opt_state, tp)
-    batch_spec = RayBatch(P("data"), P("data"), P("data"), P("data"), P("data"))
+    d_spec = P() if uniform_depths else P("data")
+    batch_spec = RayBatch(P("data"), P("data"), d_spec, d_spec, P("data"))
 
     def local_step(params, opt_state, batch):
         if backend == "pallas":

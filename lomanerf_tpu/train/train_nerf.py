@@ -133,9 +133,15 @@ def main(argv=None) -> None:
     n_dev = jax.device_count()
     tp = args.tp
     mesh = make_mesh(dp=n_dev // tp, tp=tp)
+    # unjittered python-pipeline sampling yields (S,) uniform depths shared
+    # by all rays (replicated over the mesh; enables the fused kernels'
+    # in-kernel point generation); stratified / native-pipeline batches
+    # carry per-ray (N, S) arrays sharded with the rays
+    uniform_depths = (args.pipeline not in ("native", "numpy")
+                      and not args.stratified)
     step_fn = make_train_step(
         cfg, opt, mesh, params, opt_state, tp=(tp > 1), backend=args.backend,
-        donate=False,
+        donate=False, uniform_depths=uniform_depths,
     )
 
     ckpt = checkpoint.CheckpointManager(args.ckpt_dir)

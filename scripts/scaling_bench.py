@@ -42,7 +42,8 @@ def measure(n_dev, rays_per_dev, cfg, inner, outer, backend):
     opt = optax.adam(5e-4)
     opt_state = opt.init(params)
     step = make_train_step(cfg, opt, mesh, params, opt_state, tp=False,
-                           backend=backend, donate=False)
+                           backend=backend, donate=False,
+                           uniform_depths=True)
     n = rays_per_dev * n_dev
     rng = np.random.default_rng(0)
 

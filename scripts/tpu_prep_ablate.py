@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--outer", type=int, default=4)
     ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--config", default="small", choices=["small", "full"],
+                    help="small = parity (transposed-layout prep); full = "
+                         "flagship (row-major packed-layout prep)")
     args = ap.parse_args()
 
     import jax
@@ -36,12 +39,17 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(215)
-    cfg = NeRFConfig.small()
+    cfg = {"small": NeRFConfig.small, "full": NeRFConfig.full}[args.config]()
+    if args.config == "full":
+        args.rays = min(args.rays, 16384)  # the flagship bench batch
     S = cfg.num_samples
     N = args.rays
     o = jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32))
     d = jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32))
     _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, S)
+    # the ray-major layouts under measurement take per-ray (N, S) depths
+    t = jnp.broadcast_to(t, (N, S))
+    dists = jnp.broadcast_to(dists, (N, S))
     tg = jnp.asarray(rng.random((N, 3)).astype(np.float32))
     K = args.inner
 
@@ -50,6 +58,12 @@ def main():
             oo, d, t, dists, S, args.tile)[0][:1, :1],
         "full prep": lambda oo: _full(oo),
     }
+    if args.config == "full":
+        # flagship path: the row-major kernels' packed (8, rows) layout
+        variants = {
+            "pk packed": lambda oo: fused_nerf._packed_ray_layout(
+                oo, d, t, dists, S, 8)[0][:1, :1],
+        }
 
     def _full(oo):
         ptsT, distsT, n_pad, pad_rays = fused_nerf._transposed_ray_layout(

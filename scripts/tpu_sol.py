@@ -29,7 +29,13 @@ def main():
     ap.add_argument("--rays", type=int, default=262144)
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--outer", type=int, default=4)
-    ap.add_argument("--tile", type=int, default=64)
+    ap.add_argument("--tile", type=int, default=0,
+                    help="ray tile (0 = per-layout default: smajor 128, "
+                         "raymajor 64)")
+    ap.add_argument("--layout", default="smajor",
+                    choices=["smajor", "raymajor"],
+                    help="smajor = in-kernel point generation (production); "
+                         "raymajor = XLA-side row prep (stratified path)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +56,20 @@ def main():
     _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
     tg = jnp.asarray(rng.random((N, 3)).astype(np.float32))
     K = args.inner
+    tile = args.tile or (128 if args.layout == "smajor" else 64)
+    if args.layout == "smajor":
+        def loss_fn(w, oo, ab_arg):
+            return fused_nerf._nerf_train_loss_S(
+                w, oo, d, t, dists, tg, cfg, tile, True, "float32", 40,
+                ab_arg)
+    else:
+        t2 = jnp.broadcast_to(t, (N, cfg.num_samples))
+        dists2 = jnp.broadcast_to(dists, (N, cfg.num_samples))
+
+        def loss_fn(w, oo, ab_arg):
+            return fused_nerf._nerf_train_loss_T(
+                w, oo, d, t2, dists2, tg, cfg, tile, True, "float32", 40,
+                ab_arg)
 
     results = {}
     for ab in ["enc_only", "no_bwd", "no_mlp_bwd", "none", "no_scans"]:
@@ -63,9 +83,7 @@ def main():
                 # and the final fetched loss structurally depends on all of
                 # them, so neither XLA nor the relay can elide a step
                 loss, _ = jax.value_and_grad(
-                    lambda w: fused_nerf._nerf_train_loss_T(
-                        w, o * (1.0 + acc), d, t, dists, tg, cfg, args.tile,
-                        True, "float32", 40, ab_arg)
+                    lambda w: loss_fn(w, o * (1.0 + acc), ab_arg)
                 )(params)
                 return acc + jnp.float32(1e-4) + loss * 1e-20, loss
 

@@ -24,8 +24,10 @@ def main():
     ap.add_argument("--rays", type=int, default=262144)
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--outer", type=int, default=4)
-    ap.add_argument("--tiles", default="64,128,256,512,1024")
+    ap.add_argument("--tiles", default="128,256,512")
     ap.add_argument("--ablate", default="none,enc_only")
+    ap.add_argument("--layout", default="smajor",
+                    choices=["smajor", "raymajor"])
     args = ap.parse_args()
 
     import jax
@@ -46,18 +48,31 @@ def main():
     _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
     tg = jnp.asarray(rng.random((N, 3)).astype(np.float32))
     K = args.inner
+    if args.layout == "smajor":
+        def make_loss(tile, ab_arg):
+            return lambda w, oo: fused_nerf._nerf_train_loss_S(
+                w, oo, d, t, dists, tg, cfg, tile, True, "float32", 40,
+                ab_arg)
+    else:
+        t2 = jnp.broadcast_to(t, (N, cfg.num_samples))
+        dists2 = jnp.broadcast_to(dists, (N, cfg.num_samples))
+
+        def make_loss(tile, ab_arg):
+            return lambda w, oo: fused_nerf._nerf_train_loss_T(
+                w, oo, d, t2, dists2, tg, cfg, tile, True, "float32", 40,
+                ab_arg)
 
     for tile in [int(x) for x in args.tiles.split(",")]:
         for ab in args.ablate.split(","):
             ab_arg = "" if ab == "none" else ab
 
+            loss_fn = make_loss(tile, ab_arg)
+
             @jax.jit
-            def run_k(salt, tile=tile, ab_arg=ab_arg):
+            def run_k(salt, loss_fn=loss_fn):
                 def body(acc, _):
                     loss, _ = jax.value_and_grad(
-                        lambda w: fused_nerf._nerf_train_loss_T(
-                            w, o * (1.0 + acc), d, t, dists, tg, cfg, tile,
-                            True, "float32", 40, ab_arg)
+                        lambda w: loss_fn(w, o * (1.0 + acc))
                     )(params)
                     return acc + jnp.float32(1e-4) + loss * 1e-20, loss
 

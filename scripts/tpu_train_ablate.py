@@ -83,9 +83,11 @@ def main():
         if args.filter and args.filter not in label:
             continue
         def mk(p, o, d, t, di, tg, R=R, hp=hp, cdt=cdt, ab=ab):
+            t2 = jnp.broadcast_to(t, (o.shape[0], cfg.num_samples))
+            di2 = jnp.broadcast_to(di, (o.shape[0], cfg.num_samples))
             return jax.value_and_grad(
                 lambda q: fused_nerf._nerf_train_loss_T(
-                    q, o, d, t, di, tg, cfg, R, hp, cdt, 40, ab)
+                    q, o, d, t2, di2, tg, cfg, R, hp, cdt, 40, ab)
             )(p)
         timeit(mk, label)
 

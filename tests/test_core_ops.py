@@ -139,9 +139,12 @@ def test_sample_along_rays_dists_sentinel():
     d = jnp.ones((4, 3))
     pts, t, dists = sample_along_rays(o, d, near=2.0, far=6.0, num_samples=30)
     assert pts.shape == (4, 30, 3)
-    np.testing.assert_allclose(np.asarray(dists[:, -1]), 1e8)
+    # unjittered depths are shared by every ray: (S,) — the fused kernels'
+    # per-ray-uniform contract
+    assert t.shape == (30,) and dists.shape == (30,)
+    np.testing.assert_allclose(np.asarray(dists[-1]), 1e8)
     np.testing.assert_allclose(
-        np.asarray(dists[0, :-1]), np.full(29, 4.0 / 29.0), rtol=1e-5
+        np.asarray(dists[:-1]), np.full(29, 4.0 / 29.0), rtol=1e-5
     )
     # stratified jitter keeps samples within bins
     pts2, t2, _ = sample_along_rays(

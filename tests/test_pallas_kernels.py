@@ -145,14 +145,18 @@ def test_fused_train_loss_and_grads_match_jax_grad(rng, mode):
 
 @pytest.mark.parametrize("mode", ["loma", "standard"])
 @pytest.mark.parametrize("num_samples", [8, 30])
-def test_fused_train_loss_transposed_layout(rng, mode, num_samples):
-    """The transposed-layout train kernel (auto-dispatched for narrow MLPs
-    at the default tile) matches value_and_grad of the jnp pipeline.
+@pytest.mark.parametrize("depths", ["uniform", "perray"])
+def test_fused_train_loss_transposed_layout(rng, mode, num_samples, depths):
+    """The transposed-layout train kernels (auto-dispatched for narrow MLPs
+    at the default tile) match value_and_grad of the jnp pipeline.
 
-    num_samples=30 is the production parity config: it forces the R_T=64
-    lane-alignment tile (30*R % 128 == 0 needs R % 64 == 0) and exercises
-    the shift-doubling segmented scans' partial final shift (S not a power
-    of two)."""
+    depths="uniform" passes the (S,) shared-depth contract and covers the
+    s-major kernel (in-kernel point generation); "perray" broadcasts to
+    per-ray (N, S) arrays and covers the ray-major transposed kernel (the
+    stratified-sampling path).  num_samples=30 is the production parity
+    config: it exercises the shift-doubling segmented scans' partial final
+    shift (S not a power of two) and, for "perray", the R_T=64
+    lane-alignment tile (30*R % 128 == 0 needs R % 64 == 0)."""
     cfg = NeRFConfig(num_samples=num_samples, mode=mode)
     params = init_mlp(jax.random.PRNGKey(9), cfg.in_channels, 4,
                       cfg.num_layers, cfg.filter_size)
@@ -160,6 +164,9 @@ def test_fused_train_loss_transposed_layout(rng, mode, num_samples):
     o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
     d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
     _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    if depths == "perray":
+        t = jnp.broadcast_to(t, (n, num_samples))
+        dists = jnp.broadcast_to(dists, (n, num_samples))
     target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
 
     loss, got = jax.value_and_grad(
@@ -177,10 +184,13 @@ def test_fused_train_loss_transposed_layout(rng, mode, num_samples):
 
 @pytest.mark.parametrize("mode", ["loma", "standard"])
 @pytest.mark.parametrize("num_samples", [8, 30])
-def test_fused_render_transposed_layout(rng, mode, num_samples):
-    """The transposed render/eval kernel (auto-dispatched for narrow MLPs at
-    the default tile) matches the jnp core forward AND its remat backward
-    matches jax.grad — the eval-path port of the transposed train layout."""
+@pytest.mark.parametrize("depths", ["uniform", "perray"])
+def test_fused_render_transposed_layout(rng, mode, num_samples, depths):
+    """The transposed render/eval kernels (auto-dispatched for narrow MLPs
+    at the default tile) match the jnp core forward AND their remat
+    backward matches jax.grad — the eval-path port of the transposed train
+    layouts ("uniform" = s-major in-kernel point generation, "perray" =
+    ray-major transposed, the stratified path)."""
     cfg = NeRFConfig(num_samples=num_samples, mode=mode)
     params = init_mlp(jax.random.PRNGKey(11), cfg.in_channels, 4,
                       cfg.num_layers, cfg.filter_size)
@@ -188,6 +198,9 @@ def test_fused_render_transposed_layout(rng, mode, num_samples):
     o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
     d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
     _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    if depths == "perray":
+        t = jnp.broadcast_to(t, (n, num_samples))
+        dists = jnp.broadcast_to(dists, (n, num_samples))
     target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
 
     got = fused_nerf.render_rays(params, o, d, t, dists, cfg)

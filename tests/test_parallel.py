@@ -48,7 +48,8 @@ def test_dp_train_step_matches_single_device(rng):
     opt_state = opt.init(params)
     batch = _ray_batch(rng, 32, cfg.num_samples, cfg)
 
-    step = make_train_step(cfg, opt, mesh, params, opt_state, donate=False)
+    step = make_train_step(cfg, opt, mesh, params, opt_state, donate=False,
+                           uniform_depths=True)
     new_params, _, loss = step(params, opt_state, batch)
 
     # single-device reference
@@ -141,7 +142,8 @@ def test_dp_pallas_train_step_matches_single_device_pallas(rng):
     batch = _ray_batch(rng, 64, cfg.num_samples, cfg)
 
     step = make_train_step(cfg, opt, mesh, params, opt_state,
-                           backend="pallas", donate=False)
+                           backend="pallas", donate=False,
+                           uniform_depths=True)
     new_params, _, loss = step(params, opt_state, batch)
 
     # single-device pallas reference (same kernel, no mesh)
@@ -195,7 +197,9 @@ def test_host_local_batch_to_global(rng):
     np.testing.assert_array_equal(np.asarray(g.target),
                                   np.asarray(batch.target))
     assert g.origins.sharding == ray_sharding(mesh)
-    assert g.t_vals.sharding == ray_sharding(mesh)
+    # uniform (S,) depths are replicated, not ray-sharded
+    from lomanerf_tpu.parallel.mesh import replicated
+    assert g.t_vals.sharding == replicated(mesh)
 
 
 def test_shard_batch_routes_to_process_local_on_multihost(rng, monkeypatch):
@@ -260,7 +264,7 @@ def test_mirror_spec_chained_optimizer(rng):
     mesh = make_mesh(dp=2, tp=4, axis_names=("data", "model"))
     batch = _ray_batch(rng, 16, cfg.num_samples, cfg)
     step = make_train_step(cfg, opt, mesh, params, opt_state, tp=True,
-                           donate=False)
+                           donate=False, uniform_depths=True)
     losses = []
     for _ in range(3):
         params, opt_state, loss = step(params, opt_state, batch)
@@ -279,7 +283,7 @@ def test_dp_tp_train_step_runs_and_improves(rng):
     opt_state = opt.init(params)
     batch = _ray_batch(rng, 16, cfg.num_samples, cfg)
     step = make_train_step(cfg, opt, mesh, params, opt_state, tp=True,
-                           donate=False)
+                           donate=False, uniform_depths=True)
     losses = []
     for _ in range(5):
         params, opt_state, loss = step(params, opt_state, batch)
