@@ -122,10 +122,13 @@ def _mlp_forward(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
     return acts
 
 
-def _composite_fwd(rgba, dists_flat, S, mode):
+def _composite_fwd(rgba, dists_flat, S, mode, stride=1):
     """Per-sample weights w (rows,1) from density lane 3 and dists.
 
-    Always fp32 (rgba may arrive as bf16 from the compute-dtype path)."""
+    Always fp32 (rgba may arrive as bf16 from the compute-dtype path).
+    ``stride=1`` = ray-major rows (samples contiguous); ``stride=R`` =
+    s-major rows (row = s*R + r; the in-kernel-point-generation layout) —
+    the scans roll by multiples of the stride."""
     lane = _lane_iota(rgba.shape)
     sigma = jnp.sum(
         jnp.where(lane == 3, rgba.astype(jnp.float32), 0.0),
@@ -136,20 +139,22 @@ def _composite_fwd(rgba, dists_flat, S, mode):
     e = jnp.exp(-sigma * dists_flat)
     alpha = 1.0 - e  # (rows, 1)
     c = e + EPS
-    P = pu.seg_inclusive_cumprod(c, S)
-    s_idx = pu._sample_index(alpha.shape[0], S)
+    P = pu.seg_inclusive_cumprod(c, S, stride)
+    s_idx = pu._sample_index(alpha.shape[0], S, stride)
     if mode == "loma":
         T = jnp.where(s_idx == 0, 1.0, P)  # nerf.py:252-258 forces T[0]=1
     else:
-        T = pu.seg_shift_down(P, S, fill=1.0)
+        T = pu.seg_shift_down(P, S, fill=1.0, stride=stride)
     w = alpha * T
     return sigma, alpha, c, P, T, w
 
 
-def _ray_selector(rows, R, S):
-    """(rows, R) 0/1 matrix: row i belongs to ray i // S.  Broadcasting
-    per-ray vectors across samples as an MXU matmul."""
-    ray_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 0) // S
+def _ray_selector(rows, R, S, smajor=False):
+    """(rows, R) 0/1 matrix: row i belongs to ray i // S (ray-major) or
+    i %% R (s-major).  Broadcasting per-ray vectors across samples — and
+    reducing rows to rays — as an MXU matmul."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 0)
+    ray_of_row = (row % R) if smajor else (row // S)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 1)
     return (ray_of_row == col).astype(jnp.float32)
 
@@ -184,12 +189,13 @@ def _nerf_forward_kernel(
 
 def _bwd_from_dcol(
     dcol, acts, rgba, dists, comp, w_ref, dw_ref, db_ref,
-    *, L, R, S, mode, precision, cdt,
+    *, L, R, S, mode, precision, cdt, stride=1,
 ):
     """Shared backward: from per-ray color cotangents ``dcol`` (R, pw) and
     the in-VMEM forward state, accumulate dW/db across the sequential grid
     (the race-free TPU analog of loma's ``atomic_add``,
-    reverse_diff.py:144-155)."""
+    reverse_diff.py:144-155).  ``stride`` as in _composite_fwd (1 =
+    ray-major rows, R = s-major rows)."""
     rows = R * S
     sigma, alpha, c, P, T, w = comp
     pw = rgba.shape[1]
@@ -197,23 +203,23 @@ def _bwd_from_dcol(
     rgb_mask = (lane < 3).astype(jnp.float32)
 
     # --- compositing backward ---
-    sel = _ray_selector(rows, R, S)
+    sel = _ray_selector(rows, R, S, smajor=stride > 1)
     dcol_b = _dot(sel, dcol, precision)  # (rows, pw) per-ray broadcast
     # color_ch = sum_s w * rgba_ch  (ch < 3)
     d_w = jnp.sum(dcol_b * rgba * rgb_mask, axis=1, keepdims=True)  # (rows,1)
     d_rgb = dcol_b * w * rgb_mask  # (rows, pw), lanes 0..2
-    s_idx = pu._sample_index(rows, S)
+    s_idx = pu._sample_index(rows, S, stride)
     if mode == "loma":
         d_T = jnp.where(s_idx == 0, 0.0, d_w * alpha)
         # d_c[j] = (1/c_j) * sum_{m >= max(j,1)} d_T[m] * P[m]; d_T[0] = 0 so
         # the plain suffix sum covers j = 0 as well
-        suf = pu.seg_suffix_sum(d_T * P, S)
+        suf = pu.seg_suffix_sum(d_T * P, S, stride)
         d_c = suf / c
     else:
         d_T_incl = d_w * alpha  # dL/dT at each s (T = shift_down(P))
-        rolled = pltpu.roll(d_T_incl, rows - 1, axis=0)
+        rolled = pltpu.roll(d_T_incl, rows - stride, axis=0)
         d_P = jnp.where(s_idx < S - 1, rolled, 0.0)
-        suf = pu.seg_suffix_sum(d_P * P, S)
+        suf = pu.seg_suffix_sum(d_P * P, S, stride)
         d_c = suf / c
     d_alpha = d_w * T - d_c
     d_sigma = d_alpha * dists * (1.0 - alpha)  # d(alpha)/d(sigma*d) = e
@@ -1305,6 +1311,330 @@ def _pick_tile_S(S, ps, L, itemsize, n_bufs=6,
     return R
 
 
+# ---------------------------------------------------------------------------
+# s-major ROW-MAJOR kernels (wide MLPs, uniform ray depths): the same
+# in-kernel point generation for the lanes-full configs.  Rows within a tile
+# are ordered s*R + r; sample blocks stack as SUBLANE-aligned (R, 8) copies
+# of the per-ray block (R is a sublane multiple), the per-ray selector
+# becomes row % R, and the (rows, 1) sublane scans roll by multiples of R.
+# Removes the pk packed-layout XLA prep (2.85 ms per 16k-ray flagship
+# batch; ~110 ms of relayout per 800x800 frame — artifacts/r3_prep_full.log)
+# and shrinks ray HBM traffic from 32 B/row to 32 B/ray.
+# ---------------------------------------------------------------------------
+
+
+def _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R):
+    """(rows, 8) s-major sample points + (rows, 1) dists from an (R, 8)
+    per-ray block (lanes 0-2 = origin xyz, 3-5 = direction xyz)."""
+    rays = rays_ref[...]
+    lane = _lane_iota(rays.shape)
+    o3 = jnp.where(lane < 3, rays, 0.0)
+    d3 = jnp.where(lane < 3, pltpu.roll(rays, 5, axis=1), 0.0)
+    pts_blocks = [o3 + d3 * t_ref[0, s] for s in range(S)]
+    dist_blocks = [
+        jnp.full((R, 1), d_ref[0, s], jnp.float32) for s in range(S)
+    ]
+    return (jnp.concatenate(pts_blocks, axis=0),
+            jnp.concatenate(dist_blocks, axis=0))
+
+
+def _encode_rm(pts8, E_ref, m_ref, precision):
+    """(rows, PW) encoding of generated (rows, 8) points (lanes 3-7 zero;
+    E's rows >= 3 are zero, so they contribute nothing)."""
+    P = _dot(pts8, E_ref[...], precision)
+    return m_ref[0:1, :] * P + m_ref[1:2, :] * jnp.sin(P + m_ref[2:3, :])
+
+
+def _nerf_train_kernel_W(
+    nrays_ref, t_ref, d_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
+    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
+):
+    """s-major single-pass train kernel for wide MLPs (row-major layout)."""
+    pts8, dists = _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R)
+    enc = _encode_rm(pts8, E_ref, m_ref, precision)
+    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    comp = _composite_fwd(rgba, dists, S, mode, stride=R)
+    w = comp[-1]
+    pw = rgba.shape[1]
+
+    sel = _ray_selector(R * S, R, S, smajor=True)
+    pred = _dot_tt(sel, rgba * w, precision)  # (R, pw)
+    tgt = tgt_ref[...]  # (R, 128); lanes 0..2 real
+    if pw > 128:
+        tgt = jnp.pad(tgt, ((0, 0), (0, pw - 128)))
+    lane_r = _lane_iota(pred.shape)
+    ray_idx = pl.program_id(0) * R + jax.lax.broadcasted_iota(
+        jnp.int32, pred.shape, 0
+    )
+    mask = jnp.where((lane_r < 3) & (ray_idx < nrays_ref[0, 0]), 1.0, 0.0)
+    diff = (pred - tgt) * mask
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    sq = jnp.sum(diff * diff, axis=1, keepdims=True)  # (R, 1)
+    loss_ref[...] += jnp.sum(sq, axis=0, keepdims=True)  # (1, 1)
+    _bwd_from_dcol(2.0 * diff, acts, rgba, dists, comp, w_ref, dw_ref,
+                   db_ref, L=L, R=R, S=S, mode=mode, precision=precision,
+                   cdt=cdt, stride=R)
+
+
+def _nerf_forward_kernel_W(
+    t_ref, d_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
+    *, L, R, S, mode, precision, cdt,
+):
+    pts8, dists = _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R)
+    enc = _encode_rm(pts8, E_ref, m_ref, precision)
+    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    w = _composite_fwd(rgba, dists, S, mode, stride=R)[-1]
+    sel = _ray_selector(R * S, R, S, smajor=True)
+    out_ref[...] = _dot_tt(sel, rgba * w, precision)[:, :128]
+
+
+def _nerf_backward_kernel_W(
+    t_ref, d_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
+    dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
+):
+    pts8, dists = _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R)
+    enc = _encode_rm(pts8, E_ref, m_ref, precision)
+    acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
+    rgba = acts[-1].astype(jnp.float32)
+    comp = _composite_fwd(rgba, dists, S, mode, stride=R)
+    pw = rgba.shape[1]
+
+    dcol = dcol_ref[...]  # (R, 128); only lanes 0..2 nonzero
+    if pw > 128:
+        dcol = jnp.pad(dcol, ((0, 0), (0, pw - 128)))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    _bwd_from_dcol(dcol, acts, rgba, dists, comp, w_ref, dw_ref, db_ref,
+                   L=L, R=R, S=S, mode=mode, precision=precision, cdt=cdt,
+                   stride=R)
+
+
+def _rm_smajor_ray_layout(origins, directions, tile_rays):
+    """(n_pad, 8) per-ray block for the wide s-major kernels: lanes 0-2 =
+    origin, 3-5 = direction.  Built by one lane-dim concatenate — no
+    transpose, no per-sample rows."""
+    n = origins.shape[0]
+    n_pad = pu.round_up(max(n, tile_rays), tile_rays)
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    rays_rm = jnp.concatenate(
+        [pad_rays(origins.astype(jnp.float32)),
+         pad_rays(directions.astype(jnp.float32)),
+         jnp.zeros((n_pad, 2), jnp.float32)], axis=1)
+    return rays_rm, n_pad, pad_rays
+
+
+@functools.lru_cache(maxsize=None)
+def _make_train_fn_W(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
+                     compute_dtype):
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
+    cdt = jnp.dtype(compute_dtype)
+    E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
+    kernel = functools.partial(
+        _nerf_train_kernel_W, L=L, R=R, S=S, mode=mode, precision=precision,
+        cdt=cdt,
+    )
+
+    def train_call(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row, n_rays):
+        n_tiles = rays_rm.shape[0] // R
+        w_c = w_stack.astype(cdt)
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        loss, dw, db = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, pw), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
+                jax.ShapeDtypeStruct((L, pw), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(n_rays, t_row, d_row, rays_rm, jnp.asarray(E_np),
+          jnp.asarray(m_np), w_c, b_stack, tgt_pad)
+        return loss[0, 0], dw, db
+
+    @jax.custom_vjp
+    def fused_loss(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row, n_rays):
+        loss, _, _ = train_call(w_stack, b_stack, rays_rm, tgt_pad, t_row,
+                                d_row, n_rays)
+        return loss
+
+    def fused_loss_fwd(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row,
+                       n_rays):
+        loss, dw, db = train_call(w_stack, b_stack, rays_rm, tgt_pad, t_row,
+                                  d_row, n_rays)
+        return loss, (dw, db, rays_rm.shape, tgt_pad.shape, t_row.shape,
+                      d_row.shape)
+
+    def fused_loss_bwd(res, g):
+        dw, db, rays_shape, tgt_shape, t_shape, d_shape = res
+        return (g * dw, g * db, jnp.zeros(rays_shape, jnp.float32),
+                jnp.zeros(tgt_shape, jnp.float32),
+                jnp.zeros(t_shape, jnp.float32),
+                jnp.zeros(d_shape, jnp.float32),
+                np.zeros((1, 1), jax.dtypes.float0))
+
+    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
+    return fused_loss
+
+
+def _nerf_train_loss_W(
+    params, origins, directions, t_1d, dists_1d, target, config,
+    tile_rays: int, highest_precision: bool, compute_dtype: str, pw: int,
+) -> jnp.ndarray:
+    L = len(params["w"])
+    S = config.num_samples
+    n = origins.shape[0]
+    rays_rm, n_pad, pad_rays = _rm_smajor_ray_layout(origins, directions,
+                                                     tile_rays)
+    tgt = pad_rays(target.astype(jnp.float32))
+    tgt_pad = jnp.pad(tgt, ((0, 0), (0, 128 - tgt.shape[1])))
+    t_row = jnp.asarray(t_1d, jnp.float32).reshape(1, S)
+    d_row = jnp.asarray(dists_1d, jnp.float32).reshape(1, S)
+    w_stack, b_stack = pu.stack_padded_params(params, pw)
+    fused = _make_train_fn_W(
+        L, tile_rays, S, pw, 3, config.num_encoding_functions, config.mode,
+        highest_precision, compute_dtype,
+    )
+    n_smem = jnp.full((1, 1), n, jnp.int32)
+    return fused(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row, n_smem)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_render_fns_W(L, R, S, pw, in_dim, num_functions, mode,
+                       highest_prec, compute_dtype="float32"):
+    precision = {
+        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGHEST,
+        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
+    cdt = jnp.dtype(compute_dtype)
+    E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
+    fwd_kernel = functools.partial(
+        _nerf_forward_kernel_W, L=L, R=R, S=S, mode=mode,
+        precision=precision, cdt=cdt,
+    )
+    bwd_kernel = functools.partial(
+        _nerf_backward_kernel_W, L=L, R=R, S=S, mode=mode,
+        precision=precision, cdt=cdt,
+    )
+
+    def common_in_specs():
+        return [
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def forward(w_stack, b_stack, rays_rm, t_row, d_row):
+        n_tiles = rays_rm.shape[0] // R
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(n_tiles,),
+            in_specs=common_in_specs(),
+            out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rays_rm.shape[0], 128),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(t_row, d_row, rays_rm, jnp.asarray(E_np), jnp.asarray(m_np),
+          w_stack.astype(cdt), b_stack)
+
+    def backward(w_stack, b_stack, rays_rm, t_row, d_row, dcol):
+        n_tiles = rays_rm.shape[0] // R
+        in_specs = common_in_specs() + [
+            pl.BlockSpec((R, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, pw), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
+                jax.ShapeDtypeStruct((L, pw), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(t_row, d_row, rays_rm, jnp.asarray(E_np), jnp.asarray(m_np),
+          w_stack.astype(cdt), b_stack, dcol)
+
+    @jax.custom_vjp
+    def render(w_stack, b_stack, rays_rm, t_row, d_row):
+        return forward(w_stack, b_stack, rays_rm, t_row, d_row)
+
+    def render_fwd(w_stack, b_stack, rays_rm, t_row, d_row):
+        out = forward(w_stack, b_stack, rays_rm, t_row, d_row)
+        return out, (w_stack, b_stack, rays_rm, t_row, d_row)
+
+    def render_bwd(res, d_out):
+        w_stack, b_stack, rays_rm, t_row, d_row = res
+        lane = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 1)
+        dcol = jnp.where(lane < 3, d_out, 0.0)
+        dw, db = backward(w_stack, b_stack, rays_rm, t_row, d_row, dcol)
+        return (dw, db, jnp.zeros_like(rays_rm), jnp.zeros_like(t_row),
+                jnp.zeros_like(d_row))
+
+    render.defvjp(render_fwd, render_bwd)
+    return render
+
+
 @functools.lru_cache(maxsize=None)
 def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                    compute_dtype):
@@ -1493,6 +1823,16 @@ def nerf_train_loss(
                 params, origins, directions, t_vals, dists, target, config,
                 R_S, highest_precision, compute_dtype, ps,
             )
+    if ps > 64 and tile_rays == 0 and uniform:
+        # wide MLPs: the s-major row-major kernel (in-kernel point
+        # generation; no pk packed-layout prep)
+        pw = pu.round_up(max(widths + [128]), 128)
+        R_W = pu.pick_tile_rays(S, pw, n_live_buffers=L + 5,
+                                itemsize=itemsize)
+        return _nerf_train_loss_W(
+            params, origins, directions, t_vals, dists, target, config,
+            R_W, highest_precision, compute_dtype, pw,
+        )
     if uniform:  # older layouts take per-ray (N, S) depth arrays
         n0 = origins.shape[0]
         t_vals = jnp.broadcast_to(t_vals, (n0, S))
@@ -1569,6 +1909,22 @@ def render_rays(
             )
             out8 = render(w_stack, b_stack, raysT, t_row, d_row)
             return out8[:3, :n].T
+    if ps > 64 and tile_rays == 0 and not kw_ablate and uniform:
+        # wide MLPs: s-major row-major render (in-kernel point generation)
+        pw = pu.round_up(max(widths + [128]), 128)
+        R_W = pu.pick_tile_rays(S, pw, n_live_buffers=L + 4,
+                                itemsize=itemsize)
+        n = origins.shape[0]
+        rays_rm, _, _ = _rm_smajor_ray_layout(origins, directions, R_W)
+        t_row = jnp.asarray(t_vals, jnp.float32).reshape(1, S)
+        d_row = jnp.asarray(dists, jnp.float32).reshape(1, S)
+        w_stack, b_stack = pu.stack_padded_params(params, pw)
+        render = _make_render_fns_W(
+            L, R_W, S, pw, 3, config.num_encoding_functions, config.mode,
+            highest_precision, compute_dtype,
+        )
+        out = render(w_stack, b_stack, rays_rm, t_row, d_row)
+        return out[:n, :3]
     if uniform:  # older layouts take per-ray (N, S) depth arrays
         n0 = origins.shape[0]
         t_vals = jnp.broadcast_to(t_vals, (n0, S))

@@ -135,44 +135,51 @@ def pick_tile_rays(
 # ---------------------------------------------------------------------------
 
 
-def _sample_index(rows: int, num_samples: int) -> jnp.ndarray:
+def _sample_index(rows: int, num_samples: int, stride: int = 1) -> jnp.ndarray:
+    """Per-row sample index.  ``stride=1`` = ray-major rows (a ray's S
+    samples contiguous); ``stride=R`` = s-major rows (row = s*R + r within
+    a tile of R rays) used by the in-kernel-point-generation kernels — the
+    same scan recurrences apply with rolls scaled by the stride."""
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    return row % num_samples
+    return (row // stride) % num_samples
 
 
-def seg_inclusive_cumprod(x: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+def seg_inclusive_cumprod(x: jnp.ndarray, num_samples: int,
+                          stride: int = 1) -> jnp.ndarray:
     """Per-segment inclusive cumulative product along rows (Hillis-Steele:
     ceil(log2 S) masked sublane rolls)."""
     rows = x.shape[0]
-    s_idx = _sample_index(rows, num_samples)
+    s_idx = _sample_index(rows, num_samples, stride)
     shift = 1
     while shift < num_samples:
-        rolled = pltpu.roll(x, shift, axis=0)
+        rolled = pltpu.roll(x, shift * stride, axis=0)
         x = x * jnp.where(s_idx >= shift, rolled, 1.0)
         shift *= 2
     return x
 
 
-def seg_suffix_sum(x: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+def seg_suffix_sum(x: jnp.ndarray, num_samples: int,
+                   stride: int = 1) -> jnp.ndarray:
     """Per-segment suffix sum: out[s] = sum_{m >= s} x[m]."""
     rows = x.shape[0]
-    s_idx = _sample_index(rows, num_samples)
+    s_idx = _sample_index(rows, num_samples, stride)
     shift = 1
     while shift < num_samples:
         # pltpu.roll requires non-negative shifts: roll by rows-shift is the
         # circular equivalent of roll by -shift
-        rolled = pltpu.roll(x, rows - shift, axis=0)
+        rolled = pltpu.roll(x, rows - shift * stride, axis=0)
         x = x + jnp.where(s_idx < num_samples - shift, rolled, 0.0)
         shift *= 2
     return x
 
 
-def seg_shift_down(x: jnp.ndarray, num_samples: int, fill: float) -> jnp.ndarray:
+def seg_shift_down(x: jnp.ndarray, num_samples: int, fill: float,
+                   stride: int = 1) -> jnp.ndarray:
     """out[s] = x[s-1] within each segment, ``fill`` at s == 0 (the exclusive
     shift used by standard-NeRF transmittance)."""
     rows = x.shape[0]
-    s_idx = _sample_index(rows, num_samples)
-    rolled = pltpu.roll(x, 1, axis=0)
+    s_idx = _sample_index(rows, num_samples, stride)
+    rolled = pltpu.roll(x, stride, axis=0)
     return jnp.where(s_idx >= 1, rolled, fill)
 
 

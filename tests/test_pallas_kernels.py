@@ -266,6 +266,48 @@ def test_fused_nerf_full_config_shapes(rng):
                                rtol=3e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_fused_wide_smajor_train_and_render(rng, mode):
+    """Wide-MLP s-major kernels (in-kernel point generation in the
+    row-major layout, auto-dispatched for ps > 64 with uniform (S,)
+    depths): render matches the jnp core, and both the single-pass train
+    kernel and the render-path remat backward match jax.grad."""
+    cfg = NeRFConfig(num_layers=3, filter_size=160, num_samples=6, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(13), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20  # not a tile multiple: exercises the validity mask
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    assert t.ndim == 1  # the uniform contract that selects the W path
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    got = fused_nerf.render_rays(params, o, d, t, dists, cfg)
+    want = nerf_render_rays(params, o, d, t, dists,
+                            cfg.num_encoding_functions, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=1e-5)
+
+    loss, got_g = jax.value_and_grad(
+        lambda p: fused_nerf.nerf_train_loss(p, o, d, t, dists, target, cfg)
+    )(params)
+    want_loss, want_g = jax.value_and_grad(
+        lambda p: nerf_loss_rays(p, o, d, t, dists, target,
+                                 cfg.num_encoding_functions, mode)
+    )(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+    got_r = jax.grad(
+        lambda p: fused_nerf.nerf_loss(p, o, d, t, dists, target, cfg)
+    )(params)
+    for a, b in zip(jax.tree.leaves(got_r), jax.tree.leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
 def test_fused_nerf_bf16_compute_close(rng):
     """bf16 compute mode stays within bf16 tolerance of the fp32 core."""
     cfg = NeRFConfig(num_samples=8)
