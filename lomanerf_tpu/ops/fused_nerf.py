@@ -976,32 +976,40 @@ def _nerf_train_loss_T(
 # ---------------------------------------------------------------------------
 
 
-def _build_rows_smajor(rays_ref, t_ref, d_ref, S, R):
+def _tile_lanes(x, rows):
+    """Concatenate copies of ``x`` along lanes (doubling: ceil(log2) concats
+    instead of ``rows/x.shape[1]`` — compile time matters at S=128) and
+    slice to ``rows`` lanes.  The lane pattern stays periodic in
+    x.shape[1], which is exactly the s-major repeat."""
+    while x.shape[1] < rows:
+        x = jnp.concatenate([x, x], axis=1)
+    return x[:, :rows]
+
+
+def _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R):
     """(ptsT, distsT) for one (8, R) ray block: sublanes 0-2 of ``rays``
-    are origin xyz, 3-5 direction xyz; ``t_ref``/``d_ref`` are (1, S) SMEM
-    per-sample depth/step scalars.  Returns (8, S*R) s-major sample points
-    (sublanes 0-2 = xyz, rest zero) and (1, S*R) dists."""
+    are origin xyz, 3-5 direction xyz; ``tl_ref``/``dl_ref`` are (1, rows)
+    per-ROW depth/step columns (t/dists repeated R times each in XLA — a
+    few KB, constant across tiles).  Returns (8, S*R) s-major sample
+    points (sublanes 0-2 = xyz, rest zero) and (1, S*R) dists."""
+    rows = R * S
     rays = rays_ref[...]
     sub = _sublane_iota(rays.shape)
     o3 = jnp.where(sub < 3, rays, 0.0)
     d3 = jnp.where(sub < 3, pltpu.roll(rays, 5, axis=0), 0.0)
-    pts_blocks = [o3 + d3 * t_ref[0, s] for s in range(S)]
-    dist_blocks = [
-        jnp.full((1, R), d_ref[0, s], jnp.float32) for s in range(S)
-    ]
-    return (jnp.concatenate(pts_blocks, axis=1),
-            jnp.concatenate(dist_blocks, axis=1))
+    pts = _tile_lanes(o3, rows) + _tile_lanes(d3, rows) * tl_ref[...]
+    return pts, dl_ref[...]
 
 
 def _nerf_train_kernel_S(
-    nrays_ref, t_ref, d_ref, rays_ref, w_ref, b_ref, tgt_ref,
+    nrays_ref, tl_ref, dl_ref, rays_ref, w_ref, b_ref, tgt_ref,
     loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
     num_functions, ablate="",
 ):
     """S-major single-pass train kernel: in-kernel point generation +
     forward + sum-MSE + backward.  Same outputs as _nerf_train_kernel_T."""
     ps = w_ref.shape[1]
-    ptsT, distsT = _build_rows_smajor(rays_ref, t_ref, d_ref, S, R)
+    ptsT, distsT = _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R)
     enc = _encode_T_rec(ptsT, num_functions, ps)
 
     @pl.when(pl.program_id(0) == 0)
@@ -1041,8 +1049,8 @@ def _nerf_train_kernel_S(
     if "no_bwd" in ablate:  # perf-ablation hook: forward+loss only
         return
 
-    # broadcast per-ray cotangents to all samples: S aligned lane copies
-    dcol8 = jnp.concatenate([2.0 * diff] * S, axis=1)  # (8, rows)
+    # broadcast per-ray cotangents to all samples: doubling lane copies
+    dcol8 = _tile_lanes(2.0 * diff, R * S)  # (8, rows)
     _bwd_from_dcol_T(dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
                      L=L, S=S, mode=mode, precision=precision, cdt=cdt,
                      ablate=ablate, stride=R)
@@ -1064,11 +1072,14 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
 
     def train_call(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_rays):
         n_tiles = raysT.shape[1] // R
+        rows = R * S
         w_c = w_stack.astype(cdt)
         in_specs = [
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1155,8 +1166,13 @@ def _nerf_train_loss_S(
     n = origins.shape[0]
     raysT, tgtT, _ = _smajor_ray_layout(origins, directions, target,
                                         tile_rays)
-    t_row = jnp.asarray(t_1d, jnp.float32).reshape(1, S)
-    d_row = jnp.asarray(dists_1d, jnp.float32).reshape(1, S)
+    # per-ROW (1, rows) depth columns (s-major: row = s*R + r -> t[row//R]);
+    # tiny and constant across tiles, so the kernel pays no per-sample
+    # scalar unrolling (compile time) and no broadcast scans (run time)
+    t_row = jnp.repeat(jnp.asarray(t_1d, jnp.float32),
+                       tile_rays).reshape(1, tile_rays * S)
+    d_row = jnp.repeat(jnp.asarray(dists_1d, jnp.float32),
+                       tile_rays).reshape(1, tile_rays * S)
     w_stack, b_stack = pu.stack_padded_params_T(params, ps)
     fused = _make_train_fn_S(
         L, tile_rays, S, ps, 3, config.num_encoding_functions, config.mode,
@@ -1167,13 +1183,13 @@ def _nerf_train_loss_S(
 
 
 def _nerf_forward_kernel_S(
-    t_ref, d_ref, rays_ref, w_ref, b_ref, out_ref,
+    tl_ref, dl_ref, rays_ref, w_ref, b_ref, out_ref,
     *, L, R, S, mode, precision, cdt, num_functions,
 ):
     """S-major render forward: writes each ray's color directly as an
     (8, R) per-ray block (sublanes 0..2) — no O(N*S) output, no XLA-side
     every-S-th-lane gather."""
-    ptsT, distsT = _build_rows_smajor(rays_ref, t_ref, d_ref, S, R)
+    ptsT, distsT = _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R)
     enc = _encode_T_rec(ptsT, num_functions, w_ref.shape[1])
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
@@ -1183,12 +1199,12 @@ def _nerf_forward_kernel_S(
 
 
 def _nerf_backward_kernel_S(
-    t_ref, d_ref, rays_ref, w_ref, b_ref, dcol_ref, dw_ref, db_ref,
+    tl_ref, dl_ref, rays_ref, w_ref, b_ref, dcol_ref, dw_ref, db_ref,
     *, L, R, S, mode, precision, cdt, num_functions,
 ):
     """S-major remat backward for the render path; dcol is the (8, R)
     per-ray color cotangent block (broadcast across samples in-kernel)."""
-    ptsT, distsT = _build_rows_smajor(rays_ref, t_ref, d_ref, S, R)
+    ptsT, distsT = _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R)
     enc = _encode_T_rec(ptsT, num_functions, w_ref.shape[1])
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
@@ -1199,7 +1215,7 @@ def _nerf_backward_kernel_S(
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
         db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
-    dcol8 = jnp.concatenate([dcol_ref[...]] * S, axis=1)
+    dcol8 = _tile_lanes(dcol_ref[...], R * S)
     _bwd_from_dcol_T(dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
                      L=L, S=S, mode=mode, precision=precision, cdt=cdt,
                      stride=R)
@@ -1224,9 +1240,12 @@ def _make_render_fns_S(L, R, S, ps, in_dim, num_functions, mode,
     )
 
     def common_in_specs():
+        rows = R * S
         return [
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1323,19 +1342,26 @@ def _pick_tile_S(S, ps, L, itemsize, n_bufs=6,
 # ---------------------------------------------------------------------------
 
 
-def _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R):
+def _tile_sublanes(x, rows):
+    """Concatenate copies of ``x`` along sublanes (doubling — ceil(log2)
+    concats; compile time matters at S=128) and slice to ``rows``."""
+    while x.shape[0] < rows:
+        x = jnp.concatenate([x, x], axis=0)
+    return x[:rows]
+
+
+def _build_rows_smajor_rm(rays_ref, tc_ref, dc_ref, S, R):
     """(rows, 8) s-major sample points + (rows, 1) dists from an (R, 8)
-    per-ray block (lanes 0-2 = origin xyz, 3-5 = direction xyz)."""
+    per-ray block (lanes 0-2 = origin xyz, 3-5 = direction xyz);
+    ``tc_ref``/``dc_ref`` are (rows, 1) per-row depth/step columns
+    (repeated in XLA, constant across tiles)."""
+    rows = R * S
     rays = rays_ref[...]
     lane = _lane_iota(rays.shape)
     o3 = jnp.where(lane < 3, rays, 0.0)
     d3 = jnp.where(lane < 3, pltpu.roll(rays, 5, axis=1), 0.0)
-    pts_blocks = [o3 + d3 * t_ref[0, s] for s in range(S)]
-    dist_blocks = [
-        jnp.full((R, 1), d_ref[0, s], jnp.float32) for s in range(S)
-    ]
-    return (jnp.concatenate(pts_blocks, axis=0),
-            jnp.concatenate(dist_blocks, axis=0))
+    pts = _tile_sublanes(o3, rows) + _tile_sublanes(d3, rows) * tc_ref[...]
+    return pts, dc_ref[...]
 
 
 def _encode_rm(pts8, E_ref, m_ref, precision):
@@ -1346,11 +1372,11 @@ def _encode_rm(pts8, E_ref, m_ref, precision):
 
 
 def _nerf_train_kernel_W(
-    nrays_ref, t_ref, d_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
+    nrays_ref, tc_ref, dc_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, tgt_ref,
     loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
 ):
     """s-major single-pass train kernel for wide MLPs (row-major layout)."""
-    pts8, dists = _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R)
+    pts8, dists = _build_rows_smajor_rm(rays_ref, tc_ref, dc_ref, S, R)
     enc = _encode_rm(pts8, E_ref, m_ref, precision)
     acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
@@ -1384,10 +1410,10 @@ def _nerf_train_kernel_W(
 
 
 def _nerf_forward_kernel_W(
-    t_ref, d_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
+    tc_ref, dc_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
     *, L, R, S, mode, precision, cdt,
 ):
-    pts8, dists = _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R)
+    pts8, dists = _build_rows_smajor_rm(rays_ref, tc_ref, dc_ref, S, R)
     enc = _encode_rm(pts8, E_ref, m_ref, precision)
     acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
@@ -1397,10 +1423,10 @@ def _nerf_forward_kernel_W(
 
 
 def _nerf_backward_kernel_W(
-    t_ref, d_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
+    tc_ref, dc_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, dcol_ref,
     dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
 ):
-    pts8, dists = _build_rows_smajor_rm(rays_ref, t_ref, d_ref, S, R)
+    pts8, dists = _build_rows_smajor_rm(rays_ref, tc_ref, dc_ref, S, R)
     enc = _encode_rm(pts8, E_ref, m_ref, precision)
     acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
@@ -1455,11 +1481,14 @@ def _make_train_fn_W(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 
     def train_call(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row, n_rays):
         n_tiles = rays_rm.shape[0] // R
+        rows = R * S
         w_c = w_stack.astype(cdt)
         in_specs = [
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1529,8 +1558,11 @@ def _nerf_train_loss_W(
                                                      tile_rays)
     tgt = pad_rays(target.astype(jnp.float32))
     tgt_pad = jnp.pad(tgt, ((0, 0), (0, 128 - tgt.shape[1])))
-    t_row = jnp.asarray(t_1d, jnp.float32).reshape(1, S)
-    d_row = jnp.asarray(dists_1d, jnp.float32).reshape(1, S)
+    # per-row (rows, 1) depth columns (row = s*R + r -> t[row // R])
+    t_row = jnp.repeat(jnp.asarray(t_1d, jnp.float32),
+                       tile_rays).reshape(tile_rays * S, 1)
+    d_row = jnp.repeat(jnp.asarray(dists_1d, jnp.float32),
+                       tile_rays).reshape(tile_rays * S, 1)
     w_stack, b_stack = pu.stack_padded_params(params, pw)
     fused = _make_train_fn_W(
         L, tile_rays, S, pw, 3, config.num_encoding_functions, config.mode,
@@ -1560,9 +1592,12 @@ def _make_render_fns_W(L, R, S, pw, in_dim, num_functions, mode,
     )
 
     def common_in_specs():
+        rows = R * S
         return [
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1900,8 +1935,10 @@ def render_rays(
         if R_S:
             n = origins.shape[0]
             raysT, _, _ = _smajor_ray_layout(origins, directions, None, R_S)
-            t_row = jnp.asarray(t_vals, jnp.float32).reshape(1, S)
-            d_row = jnp.asarray(dists, jnp.float32).reshape(1, S)
+            t_row = jnp.repeat(jnp.asarray(t_vals, jnp.float32),
+                               R_S).reshape(1, R_S * S)
+            d_row = jnp.repeat(jnp.asarray(dists, jnp.float32),
+                               R_S).reshape(1, R_S * S)
             w_stack, b_stack = pu.stack_padded_params_T(params, ps)
             render = _make_render_fns_S(
                 L, R_S, S, ps, 3, config.num_encoding_functions,
@@ -1916,8 +1953,10 @@ def render_rays(
                                 itemsize=itemsize)
         n = origins.shape[0]
         rays_rm, _, _ = _rm_smajor_ray_layout(origins, directions, R_W)
-        t_row = jnp.asarray(t_vals, jnp.float32).reshape(1, S)
-        d_row = jnp.asarray(dists, jnp.float32).reshape(1, S)
+        t_row = jnp.repeat(jnp.asarray(t_vals, jnp.float32),
+                           R_W).reshape(R_W * S, 1)
+        d_row = jnp.repeat(jnp.asarray(dists, jnp.float32),
+                           R_W).reshape(R_W * S, 1)
         w_stack, b_stack = pu.stack_padded_params(params, pw)
         render = _make_render_fns_W(
             L, R_W, S, pw, 3, config.num_encoding_functions, config.mode,
