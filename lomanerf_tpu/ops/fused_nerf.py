@@ -1317,11 +1317,17 @@ def _pick_tile_S(S, ps, L, itemsize, n_bufs=6,
                  vmem_budget=6 * 1024 * 1024) -> int:
     """Ray tile for the s-major kernels: R is a multiple of 128 (sample
     blocks concatenate at vreg-aligned lane offsets), grown while the
-    conservative VMEM model fits.  Returns 0 when even R=128 does not."""
+    conservative VMEM model fits.  Returns 0 when even R=128 does not.
+
+    The L activation buffers live in the compute dtype, but the n_bufs
+    compositing/scan temporaries (sigma/alpha/c/P/T/w, suffix sums) are
+    fp32 regardless — account them at 4 bytes so a bf16 run cannot pick a
+    tile the fp32 sweep already showed fails Mosaic compile
+    (artifacts/r3_tile_sweep.log)."""
     R = 128
 
     def est(r):
-        return r * S * ps * itemsize * (L + n_bufs)
+        return r * S * ps * (itemsize * L + 4 * n_bufs)
 
     if est(R) > vmem_budget:
         return 0

@@ -136,7 +136,7 @@ def make_train_step(
     tp: bool = False,
     backend: str = "jnp",
     donate: bool = True,
-    uniform_depths: bool = False,
+    uniform_depths: bool | None = None,
 ):
     """Build a jitted sharded NeRF train step.
 
@@ -147,7 +147,10 @@ def make_train_step(
         tp: also tensor-parallel the MLP over the ``model`` mesh axis.
         backend: "jnp" or "pallas" for the per-shard render.
         uniform_depths: batches carry (S,) t_vals/dists shared by all rays
-            (replicated over the mesh) instead of per-ray (N, S).
+            (replicated over the mesh) instead of per-ray (N, S).  Default
+            None infers it from ``batch.t_vals.ndim`` at call time (static
+            under jit), so the default ``sample_along_rays`` output and
+            per-ray pipelines both compose without flags.
 
     Returns:
         ``step(params, opt_state, batch) -> (params, opt_state, loss)``.
@@ -164,8 +167,6 @@ def make_train_step(
     else:
         mlp_fn = functools.partial(mlp_apply, head="rgba")
     p_spec, o_spec = state_specs(config, params, opt_state, tp)
-    d_spec = P() if uniform_depths else P("data")
-    batch_spec = RayBatch(P("data"), P("data"), d_spec, d_spec, P("data"))
 
     def local_step(params, opt_state, batch):
         if backend == "pallas":
@@ -196,11 +197,31 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    sharded = _shard_map_fn(
-        local_step,
-        mesh=mesh,
-        in_specs=(p_spec, o_spec, batch_spec),
-        out_specs=(p_spec, o_spec, P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+    _variants: dict = {}
+
+    def _sharded_for(uniform: bool):
+        if uniform not in _variants:
+            d_spec = P() if uniform else P("data")
+            batch_spec = RayBatch(P("data"), P("data"), d_spec, d_spec,
+                                  P("data"))
+            sharded = _shard_map_fn(
+                local_step,
+                mesh=mesh,
+                in_specs=(p_spec, o_spec, batch_spec),
+                out_specs=(p_spec, o_spec, P()),
+                check_vma=False,
+            )
+            _variants[uniform] = jax.jit(
+                sharded, donate_argnums=(0, 1) if donate else ()
+            )
+        return _variants[uniform]
+
+    if uniform_depths is not None:
+        return _sharded_for(uniform_depths)
+
+    def step(params, opt_state, batch):
+        # t_vals rank is static: (S,) = depths shared by all rays
+        # (replicated spec), (N, S) = per-ray (sharded on "data")
+        return _sharded_for(batch.t_vals.ndim == 1)(params, opt_state, batch)
+
+    return step

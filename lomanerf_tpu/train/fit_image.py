@@ -64,7 +64,9 @@ def main(argv=None) -> None:
     ap.add_argument("--ckpt-dir", default="checkpoints/fit_image")
     ap.add_argument("--ckpt-every", type=int, default=5000)
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "jnp", "pallas"],
+                    help="auto = fused pallas kernels on TPU, jnp elsewhere")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
@@ -88,6 +90,9 @@ def main(argv=None) -> None:
         num_encoding_functions=args.enc_functions,
         img_size=args.img_size,
     )
+    from lomanerf_tpu.train.steps import resolve_backend
+
+    args.backend = resolve_backend(cfg, args.backend)
     model = ImageFieldModel(cfg, backend=args.backend)
 
     target = (

@@ -44,7 +44,9 @@ def main(argv=None) -> None:
     ap.add_argument("--stratified", action="store_true",
                     help="jitter depth samples per ray")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
-    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "jnp", "pallas"],
+                    help="auto = fused pallas kernels on TPU, jnp elsewhere")
     ap.add_argument("--pipeline", default="python",
                     choices=["python", "native", "numpy"],
                     help="ray-batch producer: in-driver python, the C++ "
@@ -90,6 +92,9 @@ def main(argv=None) -> None:
         far=args.far,
         mode=args.mode,
     )
+    from lomanerf_tpu.train.steps import resolve_backend
+
+    args.backend = resolve_backend(cfg, args.backend)
     model = NeRFModel(cfg, backend=args.backend)
 
     data_dir = args.data
