@@ -28,4 +28,5 @@ from lomanerf_tpu.core import (  # noqa: F401
     psnr,
     get_rays,
     sample_along_rays,
+    stratified_ray_offsets,
 )

@@ -27,4 +27,5 @@ from lomanerf_tpu.core.rays import (  # noqa: F401
     get_rays,
     normalized_intrinsics,
     sample_along_rays,
+    stratified_ray_offsets,
 )

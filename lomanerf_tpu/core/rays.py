@@ -86,7 +86,10 @@ def sample_along_rays(
     t = jnp.linspace(near, far, num_samples, dtype=jnp.float32)
     n = origins.shape[0]
     if key is not None:
-        # stratified: jitter each bin uniformly within its width, per ray
+        # stratified: jitter each bin uniformly within its width, per ray.
+        # Training prefers stratified_ray_offsets (per-ray comb shift folded
+        # into origins), which keeps depths (S,) and the fused kernels fast;
+        # this per-bin variant remains as the independent-jitter oracle.
         bin_width = (far - near) / num_samples
         jitter = jax.random.uniform(key, (n, num_samples), dtype=jnp.float32)
         t = t[None, :] + jitter * bin_width
@@ -95,6 +98,25 @@ def sample_along_rays(
         [t[..., 1:] - t[..., :-1], jnp.full_like(t[..., :1], 1e8)], axis=-1
     )
     return points, t, dists
+
+
+def stratified_ray_offsets(
+    key: jax.Array, num_rays: int, near: float, far: float, num_samples: int
+) -> jnp.ndarray:
+    """Per-ray stratified depth offsets ``dt`` (N,), to fold into origins.
+
+    Shifted-lattice (Cranley-Patterson) stratification: every ray's whole
+    depth comb ``t_base[s] = linspace(near, far, S)[s]`` shifts by one
+    uniform draw within a bin width, so each sample is still uniform over
+    its stratum but depths stay PER-RAY-UNIFORM — ``o + d*dt[:, None]``
+    with the unjittered ``(S,)`` t_vals/dists reproduces ``t_base + dt``
+    exactly (points depend on depth only through ``o + d*t``), and the
+    fused s-major kernels keep their in-kernel point generation (O(N) ray
+    bytes; PERF.md round-3).  The reference sketches per-sample jitter,
+    commented out (train_nerf.py:289-294).
+    """
+    bin_width = (far - near) / num_samples
+    return jax.random.uniform(key, (num_rays,), dtype=jnp.float32) * bin_width
 
 
 def generate_random_rays(

@@ -56,7 +56,9 @@ def load_native():
         ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
     ]
     lib.ln_next_batch.restype = ctypes.c_int
-    lib.ln_next_batch.argtypes = [ctypes.c_void_p] + [f32p] * 5
+    lib.ln_next_batch.argtypes = [ctypes.c_void_p] + [f32p] * 4
+    lib.ln_depths.restype = None
+    lib.ln_depths.argtypes = [ctypes.c_void_p, f32p, f32p]
     lib.ln_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -79,6 +81,14 @@ class RayBatchPipeline:
 
     Batches follow the reference's ray semantics exactly (see
     native/src/ray_pipeline.cpp).  Deterministic per (seed, batch index).
+
+    Depths come in OFFSET form: the static per-pipeline comb ``t_base``
+    (S,) / ``dists`` (S, 1e8 sentinel) plus a per-ray scalar ``t_offsets``
+    in each batch (stratified = shifted-lattice jitter within one bin; 0
+    when unjittered).  Fold offsets into origins (``o + d*dt[:, None]``) —
+    depths then stay (S,) per-ray-uniform, which is the fused TPU kernels'
+    in-kernel point-generation contract (O(N) ray bytes, no O(N*S) depth
+    arrays; PERF.md round-3 s-major layout).
     """
 
     def __init__(
@@ -117,28 +127,43 @@ class RayBatchPipeline:
                 v, h, w, self.focal, n_rays, num_samples,
                 near, far, int(stratified), seed, queue_depth, n_threads,
             )
+        # static depth comb (offset form): identical between C++ and numpy
+        s = num_samples
+        if self._ctx is not None:
+            self.t_base = np.empty(s, np.float32)
+            self.dists = np.empty(s, np.float32)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            self._lib.ln_depths(self._ctx,
+                                self.t_base.ctypes.data_as(f32p),
+                                self.dists.ctypes.data_as(f32p))
+        else:
+            step = (far - near) / (s - 1)
+            self.t_base = (
+                near + step * np.arange(s, dtype=np.float32)
+            ).astype(np.float32)
+            self.dists = np.full(s, step, np.float32)
+            self.dists[-1] = 1e8
 
     @property
     def is_native(self) -> bool:
         return self._ctx is not None
 
     def next_batch(self) -> Tuple[np.ndarray, ...]:
-        """(origins, dirs, t_vals, dists, targets) float32 arrays."""
-        n, s = self.n_rays, self.num_samples
+        """(origins, dirs, t_offsets, targets) float32 arrays; depths are
+        the static ``self.t_base`` / ``self.dists`` combs."""
+        n = self.n_rays
         if self._ctx is not None:
             o = np.empty((n, 3), np.float32)
             d = np.empty((n, 3), np.float32)
-            t = np.empty((n, s), np.float32)
-            dist = np.empty((n, s), np.float32)
+            toff = np.empty(n, np.float32)
             tgt = np.empty((n, 3), np.float32)
             f32p = ctypes.POINTER(ctypes.c_float)
             self._lib.ln_next_batch(
                 self._ctx,
                 o.ctypes.data_as(f32p), d.ctypes.data_as(f32p),
-                t.ctypes.data_as(f32p), dist.ctypes.data_as(f32p),
-                tgt.ctypes.data_as(f32p),
+                toff.ctypes.data_as(f32p), tgt.ctypes.data_as(f32p),
             )
-            return o, d, t, dist, tgt
+            return o, d, toff, tgt
         return self._numpy_batch()
 
     def _numpy_batch(self):
@@ -166,21 +191,14 @@ class RayBatchPipeline:
         ).astype(np.float32)
         dirs = dc @ R.T
         origins = np.tile(T, (n, 1)).astype(np.float32)
-        step = (self.far - self.near) / (s - 1)
-        t = self.near + step * np.arange(s, dtype=np.float32)
-        t = np.tile(t, (n, 1))
         if self.stratified:
             bin_w = (self.far - self.near) / s
-            hs = _splitmix64(
-                hsh[:, None] ^ (np.arange(s, dtype=np.uint64)[None, :] << np.uint64(32))
-            )
-            t = (t + _u01(hs).astype(np.float32) * bin_w).astype(np.float32)
-        dists = np.concatenate(
-            [t[:, 1:] - t[:, :-1], np.full((n, 1), 1e8, np.float32)], axis=1
-        )
+            toff = (_u01(_splitmix64(hsh ^ np.uint64(0x5EEDB175)))
+                    * bin_w).astype(np.float32)
+        else:
+            toff = np.zeros(n, np.float32)
         targets = self.images[view, iy, ix].astype(np.float32)
-        return origins, dirs.astype(np.float32), t.astype(np.float32), \
-            dists, targets
+        return origins, dirs.astype(np.float32), toff, targets
 
     def close(self):
         if self._ctx is not None:

@@ -72,7 +72,7 @@ def main(argv=None) -> None:
     import optax
 
     from lomanerf_tpu.core import get_rays, normalized_intrinsics, psnr, \
-        sample_along_rays
+        sample_along_rays, stratified_ray_offsets
     from lomanerf_tpu.data import NeRFDataset, write_blender_dataset
     from lomanerf_tpu.models import NeRFConfig, NeRFModel
     from lomanerf_tpu.parallel import RayBatch, initialize_multihost, \
@@ -138,15 +138,14 @@ def main(argv=None) -> None:
     n_dev = jax.device_count()
     tp = args.tp
     mesh = make_mesh(dp=n_dev // tp, tp=tp)
-    # unjittered python-pipeline sampling yields (S,) uniform depths shared
-    # by all rays (replicated over the mesh; enables the fused kernels'
-    # in-kernel point generation); stratified / native-pipeline batches
-    # carry per-ray (N, S) arrays sharded with the rays
-    uniform_depths = (args.pipeline not in ("native", "numpy")
-                      and not args.stratified)
+    # every pipeline (python/native/numpy, stratified or not) now emits
+    # (S,) per-ray-uniform depths — stratified jitter is folded into the
+    # origins as a per-ray comb shift — so all modes hit the fused kernels'
+    # in-kernel point generation; the step infers the depth sharding spec
+    # from t_vals rank
     step_fn = make_train_step(
         cfg, opt, mesh, params, opt_state, tp=(tp > 1), backend=args.backend,
-        donate=False, uniform_depths=uniform_depths,
+        donate=False,
     )
 
     ckpt = checkpoint.CheckpointManager(args.ckpt_dir)
@@ -181,22 +180,30 @@ def main(argv=None) -> None:
     n_rays = args.rays_per_batch
     for i in range(start_step, args.steps):
         if pipe is not None:
-            o_np, d_np, t_np, dist_np, tgt_np = pipe.next_batch()
+            # offset-form depths: fold the per-ray stratified offset into
+            # the origins (o + d*dt); depths stay the static (S,) comb, so
+            # every pipeline hits the fused kernels' in-kernel point
+            # generation (s-major fast path, PERF.md round-3)
+            o_np, d_np, toff_np, tgt_np = pipe.next_batch()
+            o_np = o_np + d_np * toff_np[:, None]
             batch = shard_batch(
                 mesh,
-                RayBatch(*(jnp.asarray(x)
-                           for x in (o_np, d_np, t_np, dist_np, tgt_np))),
+                RayBatch(*(jnp.asarray(x) for x in (
+                    o_np, d_np, pipe.t_base, pipe.dists, tgt_np))),
             )
         else:
             v = rng.integers(len(dataset))
             idx = rng.integers(all_o.shape[1], size=n_rays)
             o = jnp.asarray(all_o[v, idx])
             d = jnp.asarray(all_d[v, idx])
-            key = None
             if args.stratified:
                 jkey, key = jax.random.split(jkey)
+                dt = stratified_ray_offsets(
+                    key, n_rays, cfg.near, cfg.far, cfg.num_samples
+                )
+                o = o + d * dt[:, None]
             _, t_vals, dists = sample_along_rays(
-                o, d, cfg.near, cfg.far, cfg.num_samples, key=key
+                o, d, cfg.near, cfg.far, cfg.num_samples
             )
             batch = shard_batch(
                 mesh,

@@ -9,6 +9,14 @@
 // (train_nerf.py:289-311), and target-pixel gather — produced ahead of the
 // accelerator by a worker pool into a ring of batch slots.
 //
+// Depths are emitted in OFFSET form: a static per-pipeline base comb
+// t_base[s] = near + step*s with uniform dists (+1e8 sentinel), plus a
+// per-ray scalar offset dt[r] (a Cranley-Patterson shifted lattice:
+// stratified = every ray's comb shifts by u01*bin; 0 when unjittered).
+// The consumer folds dt into ray origins (o + d*dt), which keeps batch
+// depth arrays O(S) instead of O(N*S) and preserves the fused TPU
+// kernels' per-ray-uniform-depth contract (in-kernel point generation).
+//
 // C ABI only (consumed via ctypes; no pybind11 in this image).
 
 #include <atomic>
@@ -42,12 +50,11 @@ struct Config {
 };
 
 struct Batch {
-  std::vector<float> origins, dirs, tvals, dists, targets;
+  std::vector<float> origins, dirs, toffs, targets;
   void resize(const Config& c) {
     origins.resize((size_t)c.n_rays * 3);
     dirs.resize((size_t)c.n_rays * 3);
-    tvals.resize((size_t)c.n_rays * c.n_samples);
-    dists.resize((size_t)c.n_rays * c.n_samples);
+    toffs.resize((size_t)c.n_rays);
     targets.resize((size_t)c.n_rays * 3);
   }
 };
@@ -81,7 +88,6 @@ struct Context {
     const float* P = &poses[(size_t)view * 16];
     const float R[9] = {P[0], P[1], P[2], P[4], P[5], P[6], P[8], P[9], P[10]};
     const float T[3] = {P[3], P[7], P[11]};
-    const float step = (far_minus_near()) / (float)(S - 1);
     for (int r = 0; r < cfg.n_rays; ++r) {
       const uint64_t h = splitmix64(base + (uint64_t)r * 0x100000001b3ull);
       const int px = (int)(h % (uint64_t)(width * width));
@@ -100,21 +106,15 @@ struct Context {
         b->origins[(size_t)r * 3 + k] = T[k];
         b->dirs[(size_t)r * 3 + k] = dw[k];
       }
-      // depths: linspace(near, far, S), optional stratified jitter within
-      // a bin width (the reference sketches jitter, train_nerf.py:290-294)
-      const float bin = (cfg.far_t - cfg.near_t) / (float)S;
-      for (int s = 0; s < S; ++s) {
-        float t = cfg.near_t + step * (float)s;
-        if (cfg.stratified) {
-          const uint64_t hs = splitmix64(h ^ ((uint64_t)s << 32));
-          t = cfg.near_t + step * (float)s + (float)u01(hs) * bin;
-        }
-        b->tvals[(size_t)r * S + s] = t;
-      }
-      for (int s = 0; s < S - 1; ++s)
-        b->dists[(size_t)r * S + s] =
-            b->tvals[(size_t)r * S + s + 1] - b->tvals[(size_t)r * S + s];
-      b->dists[(size_t)r * S + S - 1] = 1e8f;  // far sentinel
+      // depth offset: 0 (uniform comb) or a per-ray shifted-lattice
+      // jitter within one bin width (the reference sketches per-sample
+      // jitter, train_nerf.py:290-294; the per-ray comb shift is the
+      // unbiased variant that keeps depths per-ray-uniform)
+      b->toffs[r] =
+          cfg.stratified
+              ? (float)u01(splitmix64(h ^ 0x5eedb175ull)) *
+                    ((cfg.far_t - cfg.near_t) / (float)S)
+              : 0.0f;
       // target pixel: images laid out H x W x 3; flat pixel index px maps to
       // row iy, col ix (matching the reference's reshape(-1, 3) of an image
       // indexed by the same meshgrid flattening)
@@ -176,10 +176,20 @@ void* ln_create(const float* poses, const float* images, int n_views,
   return ctx;
 }
 
+// Static per-pipeline depth comb: t_base (S) and dists (S, 1e8 sentinel).
+void ln_depths(void* vctx, float* t_base, float* dists) {
+  auto* ctx = static_cast<Context*>(vctx);
+  const int S = ctx->cfg.n_samples;
+  const float step = ctx->far_minus_near() / (float)(S - 1);
+  for (int s = 0; s < S; ++s) t_base[s] = ctx->cfg.near_t + step * (float)s;
+  for (int s = 0; s < S - 1; ++s) dists[s] = step;
+  dists[S - 1] = 1e8f;  // far sentinel
+}
+
 // Blocking: copy the next ready batch into caller-provided buffers.
 // Returns 0 on success.
-int ln_next_batch(void* vctx, float* origins, float* dirs, float* tvals,
-                  float* dists, float* targets) {
+int ln_next_batch(void* vctx, float* origins, float* dirs, float* toffs,
+                  float* targets) {
   auto* ctx = static_cast<Context*>(vctx);
   Batch* b = nullptr;
   {
@@ -193,8 +203,7 @@ int ln_next_batch(void* vctx, float* origins, float* dirs, float* tvals,
   };
   cpy(origins, b->origins);
   cpy(dirs, b->dirs);
-  cpy(tvals, b->tvals);
-  cpy(dists, b->dists);
+  cpy(toffs, b->toffs);
   cpy(targets, b->targets);
   {
     std::lock_guard<std::mutex> lk(ctx->mu);

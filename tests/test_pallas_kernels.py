@@ -14,6 +14,7 @@ from lomanerf_tpu.core import (
     init_mlp,
     positional_encoding,
     sample_along_rays,
+    stratified_ray_offsets,
     sum_mse,
 )
 from lomanerf_tpu.core.pipeline import nerf_loss_rays, nerf_render_rays
@@ -178,6 +179,50 @@ def test_fused_train_loss_transposed_layout(rng, mode, num_samples, depths):
     )(params)
     np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_stratified_offset_equals_perray_depths(rng, mode):
+    """Production stratified training folds the per-ray comb-shift offset
+    into the ORIGINS and keeps (S,) depths — hitting the s-major fast
+    kernels (in-kernel point generation).  That representation must equal
+    the jnp pipeline evaluated at explicit per-ray depths t_base + dt:
+    loss AND param grads (the reference sketches stratified sampling,
+    train_nerf.py:289-294; core.rays.stratified_ray_offsets is the
+    shifted-lattice variant)."""
+    cfg = NeRFConfig(num_samples=30, mode=mode)
+    S = cfg.num_samples
+    params = init_mlp(jax.random.PRNGKey(3), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    dt = stratified_ray_offsets(jax.random.PRNGKey(11), n, cfg.near,
+                                cfg.far, S)
+    assert float(dt.min()) >= 0 and float(dt.max()) <= (cfg.far - cfg.near) / S
+    _, t_base, dists = sample_along_rays(o, d, cfg.near, cfg.far, S)
+    assert t_base.ndim == 1  # the per-ray-uniform contract
+
+    # fast path: offsets folded into origins, (S,) depths -> s-major kernel
+    o_shift = o + d * dt[:, None]
+    loss_f, grads_f = jax.value_and_grad(
+        lambda p: fused_nerf.nerf_train_loss(
+            p, o_shift, d, t_base, dists, target, cfg)
+    )(params)
+
+    # oracle: jnp pipeline at explicit per-ray depths t_base + dt
+    t_perray = t_base[None, :] + dt[:, None]
+    dists_perray = jnp.broadcast_to(dists, (n, S))
+    loss_j, grads_j = jax.value_and_grad(
+        lambda p: nerf_loss_rays(p, o, d, t_perray, dists_perray, target,
+                                 cfg.num_encoding_functions, mode)
+    )(params)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_j), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads_j)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
 
