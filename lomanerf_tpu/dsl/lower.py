@@ -17,10 +17,15 @@ forward/reverse differentiation with exactly loma's semantics:
   past the dynamic trip count are skipped, not masked-and-discarded; the
   scan carry IS loma's statically-sized tape (reverse_diff.py:444-461) —
   same max_iter discipline, same memory bound,
-* ``@simd`` bodies -> ``lax.scan`` over thread ids with shared buffers in
-  the carry (sequentialized threads: deterministic, race-free, and the
-  adjoint of ``atomic_add`` accumulation falls out of scan's VJP — the role
-  loma's atomic_add plays in reverse mode, reverse_diff.py:144-155),
+* ``@simd`` bodies -> ``jax.vmap`` over thread ids when static analysis
+  proves the only cross-thread effects are thread-indexed slots and
+  ``atomic_add`` accumulation (gather/scatter slots + summed per-thread
+  contributions — true parallel work-items, like the reference's
+  ISPC/OpenCL backends, codegen_ispc.py:15-75); otherwise ``lax.scan``
+  with shared buffers in the carry (sequentialized threads: deterministic,
+  race-free, and the adjoint of ``atomic_add`` accumulation falls out of
+  either lowering's VJP — the role loma's atomic_add plays in reverse
+  mode, reverse_diff.py:144-155),
 * user calls -> inlined lowered callees with copy-in/copy-out array args
   (loma arrays are C pointers mutable by callees).
 
@@ -142,6 +147,10 @@ class Lowerer:
         # masked iterations explicitly via ``loop_slack`` (semantically
         # free: a false condition leaves the env unchanged).
         self.loop_slack = loop_slack
+        # roots of @simd shared buffers accessed only at thread_id() —
+        # inside the vmap lowering their env entry IS the thread's slot
+        # (set dynamically by _run_simd_vmap)
+        self._slotted: frozenset = frozenset()
 
     # -- expressions --------------------------------------------------------
 
@@ -153,6 +162,10 @@ class Lowerer:
         if isinstance(e, ir.ConstFloat):
             return jnp.asarray(e.val, jnp.float32)
         if isinstance(e, ir.ArrayAccess):
+            if isinstance(e.array, ir.Var) and e.array.id in self._slotted:
+                # slotted @simd buffer: env holds this thread's slot (the
+                # vmap plan proved the index is thread_id())
+                return env[e.array.id]
             return _index(self.eval_expr(e.array, env),
                           self.eval_expr(e.index, env))
         if isinstance(e, ir.StructAccess):
@@ -232,7 +245,12 @@ class Lowerer:
         path = []
         while True:
             if isinstance(e, ir.Var):
-                return e.id, list(reversed(path))
+                p = list(reversed(path))
+                if e.id in self._slotted and p and p[0][0] == "idx":
+                    # slotted @simd buffer: the innermost [thread_id()]
+                    # level is the env entry itself
+                    p = p[1:]
+                return e.id, p
             if isinstance(e, ir.ArrayAccess):
                 path.append(("idx", self.eval_expr(e.index, env)))
                 e = e.array
@@ -414,8 +432,320 @@ class Lowerer:
 
     def run_simd(self, f: ir.FunctionDef, arg_vals: List[Any],
                  total_work: int) -> Dict[str, Any]:
-        """Dispatch a @simd kernel: scan over thread ids with the shared
-        buffers in the carry (deterministic sequential threads)."""
+        """Dispatch a @simd kernel.
+
+        When static analysis proves the body's only cross-thread effects
+        are thread-indexed slots and ``atomic_add`` accumulation (the
+        reference's entire ``@simd`` contract — its ISPC/OpenCL backends
+        run work-items concurrently with atomics as the sole communication
+        primitive, codegen_ispc.py:15-75, codegen_opencl.py:15-62), lower
+        to ``jax.vmap`` over thread ids: slots are gathered/scattered, and
+        per-thread atomic contributions are summed — the TPU-native
+        parallel execution of the work-item model.  Bodies with
+        order-dependent shared effects fall back to the sequential scan
+        (last-writer / read-your-predecessors semantics).
+        """
+        plan = self._simd_vmap_plan(f, total_work)
+        if plan is not None:
+            return self._run_simd_vmap(f, arg_vals, total_work, *plan)
+        return self._run_simd_scan(f, arg_vals, total_work)
+
+    def _simd_vmap_plan(self, f: ir.FunctionDef, total_work: int):
+        """Classify each shared (Out / Array) arg of a ``@simd`` body:
+
+        * ``slot``: every access (read, write, atomic_add target, mutable
+          call arg) is rooted at ``name[thread_id()]`` — threads touch
+          disjoint slots;
+        * ``accum``: appears ONLY as an ``atomic_add`` target (any index)
+          and is never read — commutative accumulation;
+        * read-only: never written (any index is fine);
+        * anything else (bare mentions, non-thread-indexed writes, reads
+          of an accumulator, whole-value Out assigns) is order-dependent.
+
+        Returns ``(slotted, accums)`` frozensets when vmap is sound, else
+        None (scan fallback).
+        """
+        shared = {
+            a.id for a in f.args
+            if a.is_out or isinstance(a.t, ir.Array)
+        }
+        if not shared:
+            return frozenset(), frozenset()
+        uses: Dict[str, set] = {name: set() for name in shared}
+
+        # locals provably == thread_id(): every write to the name (Declare
+        # or Assign) stores thread_id() or another such alias (fixpoint;
+        # e.g. ``i : int = thread_id()`` then indexing with ``i``)
+        writes: Dict[str, list] = {}
+
+        _non_tid = ir.BinaryOp()  # sentinel: disqualifies an alias
+
+        def note_call_mutations(e):
+            """Locals bound to a user callee's Out/Array params are written
+            via copy-out — record a non-tid write for them."""
+            if isinstance(e, ir.Call):
+                callee = self.funcs.get(e.id)
+                prim = callee if isinstance(callee, ir.FunctionDef) else (
+                    self.funcs.get(callee.primal_func)
+                    if isinstance(callee, ir.ForwardDiff) else None
+                )
+                for i, a in enumerate(e.args):
+                    note_call_mutations(a)
+                    if (prim is not None and i < len(prim.args)
+                            and isinstance(a, ir.Var)):
+                        ad = prim.args[i]
+                        if ad.is_out or isinstance(ad.t, ir.Array):
+                            writes.setdefault(a.id, []).append(_non_tid)
+            elif isinstance(e, ir.BinaryOp):
+                note_call_mutations(e.left)
+                note_call_mutations(e.right)
+            elif isinstance(e, ir.UnaryOp):
+                note_call_mutations(e.operand)
+            elif isinstance(e, ir.ArrayAccess):
+                note_call_mutations(e.array)
+                note_call_mutations(e.index)
+            elif isinstance(e, ir.StructAccess):
+                note_call_mutations(e.struct)
+
+        def collect_writes(stmts):
+            for s in stmts:
+                if isinstance(s, ir.Declare):
+                    writes.setdefault(s.target, []).append(s.val)
+                    note_call_mutations(s.val)
+                elif isinstance(s, ir.Assign):
+                    if isinstance(s.target, ir.Var):
+                        writes.setdefault(s.target.id, []).append(s.val)
+                    note_call_mutations(s.val)
+                elif isinstance(s, ir.Return):
+                    note_call_mutations(s.val)
+                elif isinstance(s, ir.IfElse):
+                    note_call_mutations(s.cond)
+                    collect_writes(s.then_stmts)
+                    collect_writes(s.else_stmts)
+                elif isinstance(s, ir.While):
+                    note_call_mutations(s.cond)
+                    collect_writes(s.body)
+                elif isinstance(s, ir.CallStmt):
+                    note_call_mutations(s.call)
+
+        collect_writes(f.body)
+        tid_aliases = {
+            n for n, vs in writes.items()
+            if n not in shared and all(v is not None for v in vs)
+        }
+        changed = True
+        while changed:
+            changed = False
+            for n in list(tid_aliases):
+                ok = all(
+                    (isinstance(v, ir.Call) and v.id == "thread_id")
+                    or (isinstance(v, ir.Var) and v.id in tid_aliases)
+                    for v in writes[n]
+                )
+                if not ok:
+                    tid_aliases.discard(n)
+                    changed = True
+
+        def is_tid(e):
+            return (isinstance(e, ir.Call) and e.id == "thread_id") or (
+                isinstance(e, ir.Var) and e.id in tid_aliases
+            )
+
+        def chain_root(e):
+            """(root var name, innermost index expr or None) of an access
+            chain; (None, None) if the chain isn't rooted at a Var."""
+            idx = None
+            while True:
+                if isinstance(e, ir.ArrayAccess):
+                    idx, e = e.index, e.array
+                elif isinstance(e, ir.StructAccess):
+                    idx, e = None, e.struct
+                elif isinstance(e, ir.Var):
+                    return e.id, idx
+                else:
+                    return None, None
+
+        def walk_chain_indices(e):
+            while isinstance(e, (ir.ArrayAccess, ir.StructAccess)):
+                if isinstance(e, ir.ArrayAccess):
+                    walk_expr(e.index)
+                    e = e.array
+                else:
+                    e = e.struct
+
+        def walk_expr(e):
+            if e is None or isinstance(e, (ir.ConstInt, ir.ConstFloat)):
+                return
+            if isinstance(e, ir.Var):
+                if e.id in shared:
+                    uses[e.id].add("bad")  # bare mention
+                return
+            if isinstance(e, (ir.ArrayAccess, ir.StructAccess)):
+                root, idx = chain_root(e)
+                if root in shared:
+                    uses[root].add(
+                        "slot" if (idx is not None and is_tid(idx))
+                        else "read"
+                    )
+                walk_chain_indices(e)
+                return
+            if isinstance(e, ir.UnaryOp):
+                walk_expr(e.operand)
+                return
+            if isinstance(e, ir.BinaryOp):
+                walk_expr(e.left)
+                walk_expr(e.right)
+                return
+            if isinstance(e, ir.Call):
+                callee = self.funcs.get(e.id)
+                prim = None
+                if isinstance(callee, ir.FunctionDef):
+                    prim = callee
+                elif isinstance(callee, ir.ForwardDiff):
+                    prim = self.funcs.get(callee.primal_func)
+                for i, a in enumerate(e.args):
+                    walk_expr(a)
+                    if prim is not None and i < len(prim.args):
+                        ad = prim.args[i]
+                        if ad.is_out or isinstance(ad.t, ir.Array):
+                            # copy-out writes back through this arg expr
+                            root, idx = chain_root(a) if isinstance(
+                                a, (ir.ArrayAccess, ir.StructAccess)
+                            ) else (None, None)
+                            if isinstance(a, ir.Var) and a.id in shared:
+                                pass  # already "bad" from walk_expr
+                            elif root in shared and not (
+                                idx is not None and is_tid(idx)
+                            ):
+                                uses[root].add("bad")
+                return
+            return
+
+        def walk_lvalue(t):
+            if isinstance(t, ir.Var):
+                if t.id in shared:
+                    uses[t.id].add("bad")  # whole-value overwrite
+                return
+            root, idx = chain_root(t)
+            if root in shared:
+                uses[root].add(
+                    "slot" if (idx is not None and is_tid(idx)) else "bad"
+                )
+            walk_chain_indices(t)
+
+        def walk_stmt(s):
+            if isinstance(s, ir.Declare):
+                walk_expr(s.val)
+            elif isinstance(s, ir.Assign):
+                walk_lvalue(s.target)
+                walk_expr(s.val)
+            elif isinstance(s, ir.Return):
+                walk_expr(s.val)
+            elif isinstance(s, ir.IfElse):
+                walk_expr(s.cond)
+                for b in s.then_stmts:
+                    walk_stmt(b)
+                for b in s.else_stmts:
+                    walk_stmt(b)
+            elif isinstance(s, ir.While):
+                walk_expr(s.cond)
+                for b in s.body:
+                    walk_stmt(b)
+            elif isinstance(s, ir.CallStmt):
+                c = s.call
+                if c.id == "atomic_add":
+                    t = c.args[0]
+                    if isinstance(t, ir.Var):
+                        if t.id in shared:
+                            uses[t.id].add("accum")
+                    else:
+                        root, idx = chain_root(t)
+                        if root in shared:
+                            uses[root].add(
+                                "slot" if (idx is not None and is_tid(idx))
+                                else "accum"
+                            )
+                        walk_chain_indices(t)
+                    walk_expr(c.args[1])
+                else:
+                    walk_expr(c)
+
+        for s in f.body:
+            walk_stmt(s)
+
+        slotted, accums = set(), set()
+        for name, kinds in uses.items():
+            if not kinds or kinds == {"read"}:
+                continue  # untouched / read-only
+            if kinds == {"slot"}:
+                slotted.add(name)
+            elif kinds == {"accum"}:
+                accums.add(name)
+            else:
+                return None  # order-dependent (incl. slot+read mixes)
+        # accumulator contributions materialize as (total_work, *shape);
+        # bail to the memory-bounded scan when that would be huge
+        if accums:
+            elems = 0
+            for a in f.args:
+                if a.id in accums:
+                    elems += sum(
+                        z.size for z in jax.tree.leaves(zero_value(a.t))
+                    )
+            if total_work * elems > (1 << 24):
+                return None
+        return frozenset(slotted), frozenset(accums)
+
+    def _run_simd_vmap(self, f: ir.FunctionDef, arg_vals: List[Any],
+                       total_work: int, slotted: frozenset,
+                       accums: frozenset) -> Dict[str, Any]:
+        env_shared = {a.id: v for a, v in zip(f.args, arg_vals)}
+        tids = jnp.arange(total_work, dtype=jnp.int32)
+        prev = self._slotted
+        self._slotted = slotted
+        try:
+            def per_thread(tid):
+                env = {}
+                for a in f.args:
+                    v = env_shared[a.id]
+                    if a.id in slotted:
+                        env[a.id] = jax.tree.map(lambda x: x[tid], v)
+                    elif a.id in accums:
+                        env[a.id] = jax.tree.map(jnp.zeros_like, v)
+                    else:
+                        env[a.id] = v
+                env["__thread_id__"] = tid
+                env = self.exec_stmts(f.body, env)
+                return ({k: env[k] for k in slotted},
+                        {k: env[k] for k in accums})
+
+            slots_out, contribs = jax.vmap(per_thread)(tids)
+        finally:
+            self._slotted = prev
+        out = {}
+        for a in f.args:
+            if not (a.is_out or isinstance(a.t, ir.Array)):
+                continue
+            v = env_shared[a.id]
+            if a.id in slotted:
+                out[a.id] = jax.tree.map(
+                    lambda orig, sl: orig.at[tids].set(sl),
+                    v, slots_out[a.id],
+                )
+            elif a.id in accums:
+                out[a.id] = jax.tree.map(
+                    lambda orig, c: orig + c.sum(axis=0),
+                    v, contribs[a.id],
+                )
+            else:
+                out[a.id] = v
+        return out
+
+    def _run_simd_scan(self, f: ir.FunctionDef, arg_vals: List[Any],
+                       total_work: int) -> Dict[str, Any]:
+        """Fallback: scan over thread ids with the shared buffers in the
+        carry (deterministic sequential threads — the semantics of bodies
+        with order-dependent shared effects)."""
         env0 = {a.id: v for a, v in zip(f.args, arg_vals)}
         keys = sorted(env0.keys())
         carry0 = tuple(env0[k] for k in keys)

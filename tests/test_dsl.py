@@ -171,6 +171,47 @@ def parallel_reduce(x : In[Array[float]], total : Out[Array[float, 1]]):
     np.testing.assert_allclose(total[0], x.sum(), rtol=1e-5)
 
 
+def test_simd_vmap_plan_classification():
+    """The hw3-style kernels must take the PARALLEL (vmap) lowering — slots
+    for thread-indexed buffers (incl. tid held in a local), accumulators
+    for atomic_add targets — while order-dependent bodies fall back to the
+    sequential scan (the reference's work-item contract, codegen_ispc.py:
+    15-75: concurrent items, atomics as the only communication)."""
+    from lomanerf_tpu.dsl import parser as dslparser
+    from lomanerf_tpu.dsl.lower import Lowerer
+
+    code = """
+@simd
+def parallel_add(x : In[Array[float]], y : In[Array[float]],
+                 z : Out[Array[float]]):
+    i : int = thread_id()
+    z[i] = x[i] + y[i]
+
+@simd
+def parallel_reduce(x : In[Array[float]], total : Out[Array[float, 1]]):
+    atomic_add(total[0], x[thread_id()])
+
+@simd
+def prefix_scan_ish(z : Out[Array[float]]):
+    i : int = thread_id()
+    z[i] = z[i - 1] + 1.0
+
+@simd
+def racy_write(z : Out[Array[float]]):
+    z[0] = int2float(thread_id())
+"""
+    _, funcs = dslparser.parse(code)
+    low = Lowerer({}, funcs)
+    plan = low._simd_vmap_plan(funcs["parallel_add"], 1000)
+    assert plan == (frozenset({"x", "y", "z"}), frozenset())
+    plan = low._simd_vmap_plan(funcs["parallel_reduce"], 1000)
+    assert plan == (frozenset({"x"}), frozenset({"total"}))
+    # reads a neighbour's slot -> order-dependent -> scan
+    assert low._simd_vmap_plan(funcs["prefix_scan_ish"], 1000) is None
+    # non-thread-indexed write -> race -> scan
+    assert low._simd_vmap_plan(funcs["racy_write"], 1000) is None
+
+
 def test_rev_parallel_copy():
     """Port of hw3 test_parallel_copy (hw_tests/hw3/test.py:452-467): the
     adjoint of a broadcast-write is a FAN-IN sum over all threads — the
