@@ -55,10 +55,15 @@ def initialize_multihost(
     No-op when already initialized (e.g. a TPU pod runtime that pre-wires
     ``jax.distributed``).  With an explicit ``coordinator`` (or the standard
     ``JAX_COORDINATOR_ADDRESS`` env var) it joins/forms the cluster; on a
-    plain single host with neither it is a no-op."""
+    plain single host with neither it is a no-op.
+
+    Must run before anything touches the XLA backend — including
+    ``jax.process_count()``, so the already-initialized probe uses
+    ``jax.distributed.is_initialized`` (which does not poke the backend),
+    not a process-count check."""
     import os
 
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return
     if coordinator is not None:
         jax.distributed.initialize(

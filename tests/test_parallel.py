@@ -290,3 +290,25 @@ def test_dp_tp_train_step_runs_and_improves(rng):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_two_process_multihost_cpu_end_to_end():
+    """Real 2-process multi-host: launches scripts/multihost_cpu_check.py,
+    which forms a jax.distributed CPU cluster (2 processes x 4 devices),
+    assembles a global batch from disjoint per-host slices through
+    shard_batch -> host_local_batch_to_global, runs one sharded train step,
+    and asserts loss/params match the single-host oracle.  This covers the
+    process_count() > 1 placement path the in-suite tests cannot reach
+    (BASELINE's 1 chip -> N>=2 hosts correctness half)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "multihost_cpu_check.py")
+    r = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True,
+        timeout=280,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert "2-process multi-host check PASSED" in r.stdout
