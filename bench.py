@@ -21,6 +21,9 @@ import json
 import time
 
 # Recorded loma CPU oracle throughputs on this machine (see --live-baseline).
+# A completed --live-baseline run measured 392.9 rays/s on this host
+# (artifacts/r4_baseline_strat.log: parity 10.302 M rays/s at vs_baseline
+# 26220x); the recorded constant stays slightly conservative.
 LOMA_CPU_RAYS_PER_S = 350.0
 LOMA_CPU_FIT_PX_PER_S = 11000.0
 

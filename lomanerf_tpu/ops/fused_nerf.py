@@ -482,8 +482,13 @@ def _encode_T_rec(ptsT, num_functions, ps, in_dim=3):
     return enc
 
 
-def _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
-    """acts[l] are (PS, rows); w_ref[l] holds W_l^T in [:out, :in]."""
+def _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt=jnp.float32,
+                   head_period=None):
+    """acts[l] are (PS, rows); w_ref[l] holds W_l^T in [:out, :in].
+
+    ``head_period``: sublane period of the density channel — None for the
+    plain transposed layout (density at sublane 3), ``ps`` for the
+    sublane-packed layout where group g's density sits at g*ps + 3."""
     acts = [enc.astype(cdt)]
     h = acts[0]
     for l in range(L):
@@ -492,6 +497,8 @@ def _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt=jnp.float32):
             h = jnp.maximum(z, 0.0).astype(cdt)
         else:
             sub = _sublane_iota(z.shape)
+            if head_period is not None:
+                sub = sub % head_period
             h = jnp.where(
                 sub == 3, jnp.maximum(z, 0.0), jax.nn.sigmoid(z)
             ).astype(cdt)
@@ -639,7 +646,8 @@ def _nerf_train_kernel_T(
 
 def _bwd_from_dcol_T(
     dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
-    *, L, S, mode, precision, cdt, ablate="", stride=1,
+    *, L, S, mode, precision, cdt, ablate="", stride=1, h0_fn=None,
+    pack=1,
 ):
     """Shared transposed backward: from per-row color cotangents ``dcol8``
     (8, rows; sublanes 0..2 real, already broadcast across each ray's
@@ -683,9 +691,37 @@ def _bwd_from_dcol_T(
     if "no_mlp_bwd" in ablate:  # perf-ablation hook
         return
 
+    if pack > 1:
+        # sublane-packed MLP backward (see _pick_pack_S): acts and w_ref
+        # are packed; dW/db fold the k diagonal blocks / sublane groups
+        # back to the unpacked (ps, ...) outputs
+        ups = ps  # unpacked width (rgba is unpacked)
+        d_zp = _pack_sublanes(d_z, pack)
+        for l in range(L - 1, -1, -1):
+            h_prev = acts[l] if acts[l] is not None else h0_fn()
+            d_z_c = d_zp.astype(cdt)
+            dwp = _dot_t(d_z_c, h_prev, precision)  # (k*ps, k*ps)
+            dw_ref[l] += sum(
+                dwp[g * ups:(g + 1) * ups, g * ups:(g + 1) * ups]
+                for g in range(pack)
+            )
+            dsum = jnp.sum(d_zp, axis=1, keepdims=True)  # (k*ps, 1)
+            db_ref[:, l : l + 1] += sum(
+                dsum[g * ups:(g + 1) * ups] for g in range(pack)
+            )
+            if l > 0:
+                d_hp = _dot_tt(w_ref[l].astype(cdt), d_z_c, precision)
+                d_zp = d_hp * (
+                    h_prev.astype(jnp.float32) > 0
+                ).astype(jnp.float32)
+        return
+
     # --- MLP backward: dW^T[l] = d_z @ h_prev^T (contract rows-lanes) ---
     for l in range(L - 1, -1, -1):
-        h_prev = acts[l]
+        # h0_fn: recompute the encoding here instead of keeping acts[0]
+        # live through the whole kernel (a VMEM-liveness experiment for
+        # bigger ray tiles; the encode is ~free, PERF.md round-3)
+        h_prev = acts[l] if acts[l] is not None else h0_fn()
         d_z_c = d_z.astype(cdt)
         dw_ref[l] += _dot_t(d_z_c, h_prev, precision)
         db_ref[:, l : l + 1] += jnp.sum(d_z, axis=1, keepdims=True)
@@ -986,6 +1022,50 @@ def _tile_lanes(x, rows):
     return x[:, :rows]
 
 
+def _pick_pack_S(ps, R, S):
+    """Sublane packing factor k for the s-major train kernel.
+
+    Narrow-MLP matmuls are MXU-starved: a (ps, ps) @ (ps, rows) contraction
+    with ps=40 uses 40/128 of the systolic array on BOTH the contraction
+    and output-sublane dims (~10% utilization).  Packing k lane-groups of
+    rows onto sublanes — activations (ps, rows) -> (k*ps, rows/k), weights
+    block-diagonal (k*ps, k*ps) — contracts over k*ps instead (k=3 for
+    ps=40: 120/128 = 94%), cutting MXU time ~k-fold at identical math
+    (off-diagonal zero blocks produce zeros).  Needs k*ps <= 128 and each
+    lane group 128-aligned (R*S % (k*128) == 0)."""
+    rows = R * S
+    for k in range(128 // ps, 1, -1):
+        if rows % (k * 128) == 0:
+            return k
+    return 1
+
+
+def _pack_sublanes(x, k):
+    """(p, rows) -> (k*p, rows/k): stack k lane-aligned row groups onto
+    sublanes (group g occupies sublanes g*p..(g+1)*p-1)."""
+    p, rows = x.shape
+    rk = rows // k
+    return jnp.concatenate(
+        [x[:, g * rk:(g + 1) * rk] for g in range(k)], axis=0)
+
+
+def _unpack_sublanes(x, k, p):
+    """Inverse of _pack_sublanes: (k*p, rows/k) -> (p, rows)."""
+    return jnp.concatenate(
+        [x[g * p:(g + 1) * p, :] for g in range(k)], axis=1)
+
+
+def _blockdiag_params(w_stack, b_stack, k):
+    """Pack the (L, ps, ps) weight stack into block-diagonal
+    (L, k*ps, k*ps) and tile biases (ps, L) -> (k*ps, L) for the
+    sublane-packed kernels.  Done in XLA once per step (tiny)."""
+    L, ps, _ = w_stack.shape
+    eye = jnp.eye(k, dtype=w_stack.dtype)
+    wp = jnp.einsum("gh,lab->lgahb", eye, w_stack).reshape(
+        L, k * ps, k * ps)
+    return wp, jnp.tile(b_stack, (k, 1))
+
+
 def _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R):
     """(ptsT, distsT) for one (8, R) ray block: sublanes 0-2 of ``rays``
     are origin xyz, 3-5 direction xyz; ``tl_ref``/``dl_ref`` are (1, rows)
@@ -1004,11 +1084,15 @@ def _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R):
 def _nerf_train_kernel_S(
     nrays_ref, tl_ref, dl_ref, rays_ref, w_ref, b_ref, tgt_ref,
     loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
-    num_functions, ablate="",
+    num_functions, ablate="", pack=1,
 ):
     """S-major single-pass train kernel: in-kernel point generation +
-    forward + sum-MSE + backward.  Same outputs as _nerf_train_kernel_T."""
-    ps = w_ref.shape[1]
+    forward + sum-MSE + backward.  Same outputs as _nerf_train_kernel_T.
+
+    ``pack`` > 1: sublane-packed MLP (see _pick_pack_S) — w_ref/b_ref
+    arrive block-diagonal/tiled; activations run as (pack*ps, rows/pack);
+    encode/compositing/loss stay in the unpacked (ps, rows) space."""
+    ps = w_ref.shape[1] // pack
     ptsT, distsT = _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R)
     enc = _encode_T_rec(ptsT, num_functions, ps)
 
@@ -1023,8 +1107,12 @@ def _nerf_train_kernel_S(
             enc[:1, :1] + distsT[:1, :1], axis=0, keepdims=True
         )
         return
-    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
-    rgba = acts[-1].astype(jnp.float32)
+    if pack > 1:
+        enc = _pack_sublanes(enc, pack)
+    acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt,
+                          head_period=ps if pack > 1 else None)
+    rgba = (_unpack_sublanes(acts[-1], pack, ps) if pack > 1
+            else acts[-1]).astype(jnp.float32)
     if "no_scans" in ablate:  # perf hook: skip the compositing scans
         sigma = rgba[3:4, :].astype(jnp.float32)
         alpha = 1.0 - jnp.exp(-sigma * distsT)
@@ -1051,14 +1139,27 @@ def _nerf_train_kernel_S(
 
     # broadcast per-ray cotangents to all samples: doubling lane copies
     dcol8 = _tile_lanes(2.0 * diff, R * S)  # (8, rows)
+    h0_fn = None
+    if "remat_enc" in ablate:
+        # VMEM-liveness experiment: drop acts[0] (the (ps, rows) encoding)
+        # after the layer-0 forward matmul; recompute it for dW0 at the
+        # end of the backward (2 FMAs + recurrence — near free)
+        acts = [None] + acts[1:]
+
+        def h0_fn():
+            p2, _ = _build_rows_smajor(rays_ref, tl_ref, dl_ref, S, R)
+            e2 = _encode_T_rec(p2, num_functions, ps)
+            if pack > 1:
+                e2 = _pack_sublanes(e2, pack)
+            return e2.astype(cdt)
     _bwd_from_dcol_T(dcol8, acts, rgba, distsT, comp, w_ref, dw_ref, db_ref,
                      L=L, S=S, mode=mode, precision=precision, cdt=cdt,
-                     ablate=ablate, stride=R)
+                     ablate=ablate, stride=R, h0_fn=h0_fn, pack=pack)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
-                     compute_dtype, ablate=""):
+                     compute_dtype, ablate="", pack=1):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGHEST,
@@ -1067,12 +1168,15 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
     cdt = jnp.dtype(compute_dtype)
     kernel = functools.partial(
         _nerf_train_kernel_S, L=L, R=R, S=S, mode=mode, precision=precision,
-        cdt=cdt, num_functions=num_functions, ablate=ablate,
+        cdt=cdt, num_functions=num_functions, ablate=ablate, pack=pack,
     )
+    kps = pack * ps  # packed weight/bias width seen by the kernel
 
     def train_call(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_rays):
         n_tiles = raysT.shape[1] // R
         rows = R * S
+        if pack > 1:
+            w_stack, b_stack = _blockdiag_params(w_stack, b_stack, pack)
         w_c = w_stack.astype(cdt)
         in_specs = [
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -1081,9 +1185,10 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
             pl.BlockSpec((1, rows), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+            pl.BlockSpec((L, kps, kps), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kps, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         ]
         loss, dw, db = pl.pallas_call(
@@ -1174,9 +1279,10 @@ def _nerf_train_loss_S(
     d_row = jnp.repeat(jnp.asarray(dists_1d, jnp.float32),
                        tile_rays).reshape(1, tile_rays * S)
     w_stack, b_stack = pu.stack_padded_params_T(params, ps)
+    pack = 1 if "nopack" in ablate else _pick_pack_S(ps, tile_rays, S)
     fused = _make_train_fn_S(
         L, tile_rays, S, ps, 3, config.num_encoding_functions, config.mode,
-        highest_precision, compute_dtype, ablate,
+        highest_precision, compute_dtype, ablate, pack,
     )
     n_smem = jnp.full((1, 1), n, jnp.int32)
     return fused(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_smem)

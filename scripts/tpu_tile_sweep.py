@@ -83,7 +83,9 @@ def main():
                 _ = float(run_k(jnp.float32(0.0)))
                 _ = float(run_k(jnp.float32(0.5)))
             except Exception as e:
-                print(f"tile {tile:5d} {ab:9s}: FAILED {str(e)[:140]}",
+                # full message: Mosaic VMEM errors carry the requested vs
+                # available byte counts — the budget arithmetic we record
+                print(f"tile {tile:5d} {ab:9s}: FAILED {str(e)[:3000]}",
                       flush=True)
                 continue
             ts, seen = [], []
