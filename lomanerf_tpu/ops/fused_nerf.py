@@ -692,23 +692,16 @@ def _bwd_from_dcol_T(
         return
 
     if pack > 1:
-        # sublane-packed MLP backward (see _pick_pack_S): acts and w_ref
-        # are packed; dW/db fold the k diagonal blocks / sublane groups
-        # back to the unpacked (ps, ...) outputs
-        ups = ps  # unpacked width (rgba is unpacked)
+        # sublane-packed MLP backward (see _pick_pack_S): acts, w_ref AND
+        # the dw/db output refs are packed — the diagonal-block fold to
+        # unpacked (ps, ...) grads happens once per step in XLA outside
+        # the kernel (train_call), not per tile
         d_zp = _pack_sublanes(d_z, pack)
         for l in range(L - 1, -1, -1):
             h_prev = acts[l] if acts[l] is not None else h0_fn()
             d_z_c = d_zp.astype(cdt)
-            dwp = _dot_t(d_z_c, h_prev, precision)  # (k*ps, k*ps)
-            dw_ref[l] += sum(
-                dwp[g * ups:(g + 1) * ups, g * ups:(g + 1) * ups]
-                for g in range(pack)
-            )
-            dsum = jnp.sum(d_zp, axis=1, keepdims=True)  # (k*ps, 1)
-            db_ref[:, l : l + 1] += sum(
-                dsum[g * ups:(g + 1) * ups] for g in range(pack)
-            )
+            dw_ref[l] += _dot_t(d_z_c, h_prev, precision)  # (k*ps, k*ps)
+            db_ref[:, l : l + 1] += jnp.sum(d_zp, axis=1, keepdims=True)
             if l > 0:
                 d_hp = _dot_tt(w_ref[l].astype(cdt), d_z_c, precision)
                 d_zp = d_hp * (
@@ -1198,21 +1191,27 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
             out_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
+                pl.BlockSpec((L, kps, kps), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ps, L), lambda i: (0, 0),
+                pl.BlockSpec((kps, L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
-                jax.ShapeDtypeStruct((ps, L), jnp.float32),
+                jax.ShapeDtypeStruct((L, kps, kps), jnp.float32),
+                jax.ShapeDtypeStruct((kps, L), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=_interpret(),
         )(n_rays, t_row, d_row, raysT, w_c, b_stack, tgtT)
+        if pack > 1:
+            # fold the packed grads once per STEP in XLA (an in-kernel
+            # per-tile fold would lane-slice at ps offsets 2048x per step)
+            dwb = dw.reshape(L, pack, ps, pack, ps)
+            dw = sum(dwb[:, g, :, g, :] for g in range(pack))
+            db = sum(db[g * ps:(g + 1) * ps] for g in range(pack))
         return loss[0, 0], dw, db
 
     @jax.custom_vjp
@@ -1279,7 +1278,11 @@ def _nerf_train_loss_S(
     d_row = jnp.repeat(jnp.asarray(dists_1d, jnp.float32),
                        tile_rays).reshape(1, tile_rays * S)
     w_stack, b_stack = pu.stack_padded_params_T(params, ps)
-    pack = 1 if "nopack" in ablate else _pick_pack_S(ps, tile_rays, S)
+    # "packmlp" opts into the sublane-packed MLP (_pick_pack_S) — measured
+    # SLOWER on v5e despite 3x the MXU contraction occupancy (the narrow
+    # matmuls are data-streaming-bound, not pass-bound; PERF.md round 4,
+    # artifacts/r4_pack_ab2.log), so unpacked is the default
+    pack = _pick_pack_S(ps, tile_rays, S) if "packmlp" in ablate else 1
     fused = _make_train_fn_S(
         L, tile_rays, S, ps, 3, config.num_encoding_functions, config.mode,
         highest_precision, compute_dtype, ablate, pack,

@@ -183,6 +183,38 @@ def test_fused_train_loss_transposed_layout(rng, mode, num_samples, depths):
                                    rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.parametrize("ablate", ["packmlp", "remat_enc"])
+def test_smajor_kernel_variants_match_default(rng, ablate):
+    """The s-major kernel's experimental variants stay correct:
+    ``packmlp`` (sublane-packed block-diagonal MLP, _pick_pack_S — measured
+    slower on v5e, kept as a documented experiment, PERF.md round 4) and
+    ``remat_enc`` (drop acts[0] liveness, recompute encoding for dW0 —
+    unlocks tile-256 Mosaic compile).  Loss and grads must equal the
+    default kernel."""
+    cfg = NeRFConfig(num_samples=30)
+    params = init_mlp(jax.random.PRNGKey(7), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, 30)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    def loss_of(ab):
+        return jax.value_and_grad(
+            lambda p: fused_nerf._nerf_train_loss_S(
+                p, o, d, t, dists, target, cfg, 128, True, "float32", 40,
+                ab)
+        )(params)
+
+    l0, g0 = loss_of("")
+    l1, g1 = loss_of(ablate)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", ["loma", "standard"])
 def test_stratified_offset_equals_perray_depths(rng, mode):
     """Production stratified training folds the per-ray comb-shift offset
