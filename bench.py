@@ -167,9 +167,11 @@ def bench_render(args) -> None:
 
     cfg = NeRFConfig.full()
     n = args.rays or 800 * 800
-    chunk = 16384  # rays per render dispatch (the production render path
-    # scans chunks inside one jit, models/nerf._render_chunks; one 640k-ray
-    # pallas call would exceed HBM)
+    # rays per render dispatch; the production render path scans chunks
+    # inside one jit (models/nerf._render_chunks).  The s-major render
+    # kernels take O(N) ray bytes and write (N, 128), so chunks far larger
+    # than the historical 16384 fit HBM comfortably.
+    chunk = args.render_chunk
     n_pad = -(-n // chunk) * chunk
     params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels,
                       cfg.out_channels, cfg.num_layers, cfg.filter_size)
@@ -241,6 +243,11 @@ def main() -> None:
     ap.add_argument(
         "--live-baseline", action="store_true",
         help="re-measure the loma CPU baseline instead of the recorded value",
+    )
+    ap.add_argument(
+        "--render-chunk", type=int, default=160000,
+        help="rays per render dispatch for --config pod-render "
+             "(800x800 = 4 chunks at the default)",
     )
     args = ap.parse_args()
     if args.config in ("fit", "fit-hires"):
