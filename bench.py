@@ -20,11 +20,12 @@ import argparse
 import json
 import time
 
-# Recorded loma CPU oracle throughputs on this machine (see --live-baseline).
-# A completed --live-baseline run measured 392.9 rays/s on this host
-# (artifacts/r4_baseline_strat.log: parity 10.302 M rays/s at vs_baseline
-# 26220x); the recorded constant stays slightly conservative.
-LOMA_CPU_RAYS_PER_S = 350.0
+# Recorded loma CPU oracle throughputs on this machine, anchored to
+# completed --live-baseline runs (the earlier 350 round-1 estimate
+# UNDERSTATED the reference and inflated vs_baseline): 392.9 rays/s
+# (artifacts/r4_baseline_strat.log) and 389.2 rays/s (r4_ladder.log,
+# parity 10.224 M at 26266x).
+LOMA_CPU_RAYS_PER_S = 391.0
 LOMA_CPU_FIT_PX_PER_S = 11000.0
 
 PARITY_SAMPLES = 30
