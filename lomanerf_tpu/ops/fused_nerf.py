@@ -1526,13 +1526,22 @@ def _nerf_train_kernel_W(
 
 def _nerf_forward_kernel_W(
     tc_ref, dc_ref, rays_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
-    *, L, R, S, mode, precision, cdt,
+    *, L, R, S, mode, precision, cdt, ablate="",
 ):
     pts8, dists = _build_rows_smajor_rm(rays_ref, tc_ref, dc_ref, S, R)
     enc = _encode_rm(pts8, E_ref, m_ref, precision)
+    if "enc_only" in ablate:  # stage floor: launch+DMA+pointgen+encode
+        out_ref[...] = enc[:R, :128] + dists[:R, :1]
+        return
     acts = _mlp_forward(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
+    if "no_comp" in ablate:  # stage: + MLP forward only
+        out_ref[...] = rgba[:R, :128] + dists[:R, :1]
+        return
     w = _composite_fwd(rgba, dists, S, mode, stride=R)[-1]
+    if "no_sel" in ablate:  # stage: + compositing, skip ray reduction
+        out_ref[...] = (rgba * w)[:R, :128]
+        return
     sel = _ray_selector(R * S, R, S, smajor=True)
     out_ref[...] = _dot_tt(sel, rgba * w, precision)[:, :128]
 
@@ -1689,7 +1698,7 @@ def _nerf_train_loss_W(
 
 @functools.lru_cache(maxsize=None)
 def _make_render_fns_W(L, R, S, pw, in_dim, num_functions, mode,
-                       highest_prec, compute_dtype="float32"):
+                       highest_prec, compute_dtype="float32", ablate=""):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGHEST,
@@ -1699,7 +1708,7 @@ def _make_render_fns_W(L, R, S, pw, in_dim, num_functions, mode,
     E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
     fwd_kernel = functools.partial(
         _nerf_forward_kernel_W, L=L, R=R, S=S, mode=mode,
-        precision=precision, cdt=cdt,
+        precision=precision, cdt=cdt, ablate=ablate,
     )
     bwd_kernel = functools.partial(
         _nerf_backward_kernel_W, L=L, R=R, S=S, mode=mode,
