@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--inner", type=int, default=8)
     ap.add_argument("--outer", type=int, default=4)
     ap.add_argument("--ablate", default="enc_only,no_comp,no_sel,none")
+    ap.add_argument("--tiles", default="",
+                    help="comma-separated R_W overrides (default: the "
+                         "pick_tile_rays choice)")
     args = ap.parse_args()
 
     import jax
@@ -53,13 +56,16 @@ def main():
     widths = [cfg.in_channels] + [cfg.filter_size] * (cfg.num_layers - 1) + [4]
     pw = pu.round_up(max(widths + [128]), 128)
     itemsize = 2
-    R_W = pu.pick_tile_rays(S, pw, n_live_buffers=cfg.num_layers + 4,
-                            itemsize=itemsize)
-    print(f"pw={pw} R_W={R_W} rows/tile={R_W * S}", flush=True)
+    R_def = pu.pick_tile_rays(S, pw, n_live_buffers=cfg.num_layers + 4,
+                              itemsize=itemsize)
+    tiles = ([int(x) for x in args.tiles.split(",")] if args.tiles
+             else [R_def])
+    print(f"pw={pw} default R_W={R_def} tiles={tiles}", flush=True)
     w_stack, b_stack = pu.stack_padded_params(params, pw)
     K = args.inner
 
-    for ab in args.ablate.split(","):
+    for R_W in tiles:
+      for ab in args.ablate.split(","):
         render = fused_nerf._make_render_fns_W(
             cfg.num_layers, R_W, S, pw, 3, cfg.num_encoding_functions,
             cfg.mode, False, "bfloat16", "" if ab == "none" else ab,
@@ -86,7 +92,7 @@ def main():
             _ = float(run_k(jnp.float32(0.0)))
             _ = float(run_k(jnp.float32(0.3)))
         except Exception as e:
-            print(f"{ab:9s}: FAILED {str(e)[:3000]}", flush=True)
+            print(f"R={R_W:3d} {ab:9s}: FAILED {str(e)[:3000]}", flush=True)
             continue
         ts, seen = [], []
         for i in range(args.outer):
@@ -96,7 +102,7 @@ def main():
             seen.append(v)
         assert len(set(seen)) == len(seen), (ab, seen)
         med = sorted(ts)[len(ts) // 2]
-        print(f"{ab:9s}: {med*1e3:7.2f} ms/chunk "
+        print(f"R={R_W:3d} {ab:9s}: {med*1e3:7.2f} ms/chunk "
               f"({N/med/1e3:7.1f} Krays/s)", flush=True)
 
 
