@@ -24,6 +24,10 @@ class ImageFieldConfig:
     img_size: int = 256
     init: str = "he"
     dtype: Any = jnp.float32
+    # matmul tier for the fused kernels: "highest" (fp32, oracle-exact
+    # parity work) | "high" (bf16x3 — passes the parity tolerances,
+    # production default) | "default" (single bf16 pass)
+    precision: str = "high"
 
     @property
     def in_channels(self) -> int:
@@ -84,6 +88,8 @@ class ImageFieldModel:
             return fused_mlp.field_forward(
                 params, coords, self.config.num_encoding_functions,
                 out_channels=self.config.out_channels,
+                highest_precision=getattr(self.config, "precision",
+                                          "highest"),
             )
         return pipeline.image_fit_pred(params, self.encode(coords))
 

@@ -57,11 +57,20 @@ class NeRFConfig:
     # ---- the BASELINE.json config ladder ----
     @staticmethod
     def small() -> "NeRFConfig":
-        return NeRFConfig()
+        # production precision for the parity-shape config: "high" (bf16x3
+        # 3-pass matmuls — Mosaic lacks Precision.HIGH, ops.fused_nerf
+        # emulates it) passes the oracle-parity gate at the gate's own
+        # tolerances (tests/test_parity_oracle.py::
+        # test_nerf_fused_high_tier_grad_parity; on-chip grads within
+        # ~1e-4 of fp32 HIGHEST, artifacts/r4_precision_tiers.log) at
+        # 27.2 -> 20.0 ms per 262k-ray step.  Plain NeRFConfig() keeps
+        # precision="highest" for exact-arithmetic parity work.
+        return NeRFConfig(precision="high")
 
     @staticmethod
     def single_view_64() -> "NeRFConfig":
-        return NeRFConfig(num_layers=4, filter_size=64, num_samples=64)
+        return NeRFConfig(num_layers=4, filter_size=64, num_samples=64,
+                          precision="high")
 
     @staticmethod
     def full() -> "NeRFConfig":

@@ -25,24 +25,35 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# bf16x3 emulation shared with the NeRF kernels (Mosaic has no
+# Precision.HIGH; see ops.fused_nerf.BF16X3).
+from lomanerf_tpu.ops.fused_nerf import BF16X3, _dot_general3
+
+
 def _dot(a, b, precision):
+    dims = (((1,), (0,)), ((), ()))
+    if precision == BF16X3:
+        return _dot_general3(a, b, dims)
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
+        a, b, dims, preferred_element_type=jnp.float32, precision=precision,
     )
 
 
 def _dot_t(a, b, precision):
+    dims = (((1,), (1,)), ((), ()))
+    if precision == BF16X3:
+        return _dot_general3(a, b, dims)
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
+        a, b, dims, preferred_element_type=jnp.float32, precision=precision,
     )
 
 
 def _dot_tt(a, b, precision):
+    dims = (((0,), (0,)), ((), ()))
+    if precision == BF16X3:
+        return _dot_general3(a, b, dims)
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
+        a, b, dims, preferred_element_type=jnp.float32, precision=precision,
     )
 
 
@@ -94,9 +105,13 @@ def _bwd_kernel(coords_ref, E_ref, m_ref, w_ref, b_ref, dout_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_field_fns(L, rows_tile, pw, in_dim, num_functions, highest_prec):
-    precision = (
-        jax.lax.Precision.HIGHEST if highest_prec else jax.lax.Precision.DEFAULT
-    )
+    precision = {
+        True: jax.lax.Precision.HIGHEST,
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
+        False: jax.lax.Precision.DEFAULT,
+        "default": jax.lax.Precision.DEFAULT,
+    }[highest_prec]
     E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
 
     def in_specs():

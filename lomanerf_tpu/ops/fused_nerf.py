@@ -50,25 +50,64 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Sentinel for the manual bf16x3 tier: Mosaic's pallas dot lowering
+# supports only DEFAULT and HIGHEST, and HIGHEST's ~6-pass fp32 emulation
+# dominates the narrow train step (27.2 -> 11.2 ms at DEFAULT,
+# artifacts/r4_precision_ab.log).  bf16x3 splits each fp32 operand into
+# hi+lo bf16 halves and takes the three significant cross products —
+# ~fp32 accuracy at ~half HIGHEST's matmul cost.
+BF16X3 = "bf16x3"
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_general3(a, b, dims):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+
+    def dg(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return dg(a_hi, b_lo) + dg(a_lo, b_hi) + dg(a_hi, b_hi)
+
+
 def _dot(a, b, precision):
+    dims = (((1,), (0,)), ((), ()))
+    if precision == BF16X3:
+        return _dot_general3(a, b, dims)
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
+        a, b, dims,
         preferred_element_type=jnp.float32, precision=precision,
     )
 
 
 def _dot_t(a, b, precision):
     """a @ b.T via contraction on dim 1."""
+    dims = (((1,), (1,)), ((), ()))
+    if precision == BF16X3:
+        return _dot_general3(a, b, dims)
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())),
+        a, b, dims,
         preferred_element_type=jnp.float32, precision=precision,
     )
 
 
 def _dot_tt(a, b, precision):
     """a.T @ b via contraction on dim 0 (rows)."""
+    dims = (((0,), (0,)), ((), ()))
+    if precision == BF16X3:
+        return _dot_general3(a, b, dims)
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())),
+        a, b, dims,
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -322,7 +361,7 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
         # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
@@ -772,7 +811,7 @@ def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
                        highest_prec, compute_dtype="float32"):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
@@ -875,7 +914,7 @@ def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
         # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
@@ -1155,7 +1194,7 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
                      compute_dtype, ablate="", pack=1):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
@@ -1335,7 +1374,7 @@ def _make_render_fns_S(L, R, S, ps, in_dim, num_functions, mode,
                        highest_prec, compute_dtype="float32"):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
@@ -1593,7 +1632,7 @@ def _make_train_fn_W(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                      compute_dtype):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
@@ -1701,7 +1740,7 @@ def _make_render_fns_W(L, R, S, pw, in_dim, num_functions, mode,
                        highest_prec, compute_dtype="float32", ablate=""):
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)
@@ -1802,7 +1841,7 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
     precision = {
         True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
         # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
-        "high": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
         False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
     }[highest_prec]
     cdt = jnp.dtype(compute_dtype)

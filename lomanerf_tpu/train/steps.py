@@ -90,6 +90,7 @@ def make_image_fit_step(
             pred = fused_mlp.field_forward(
                 params, coords, cfg.num_encoding_functions,
                 out_channels=cfg.out_channels,
+                highest_precision=getattr(cfg, "precision", "highest"),
             )
         else:
             pred = mlp_apply(

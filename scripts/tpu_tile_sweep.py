@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--outer", type=int, default=4)
     ap.add_argument("--tiles", default="128,256,512")
     ap.add_argument("--ablate", default="none,enc_only")
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "high", "default"],
+                    help="matmul precision for the fp32 kernels")
     ap.add_argument("--layout", default="smajor",
                     choices=["smajor", "raymajor"])
     args = ap.parse_args()
@@ -49,9 +52,11 @@ def main():
     tg = jnp.asarray(rng.random((N, 3)).astype(np.float32))
     K = args.inner
     if args.layout == "smajor":
+        hp = args.precision if args.precision != "highest" else True
+
         def make_loss(tile, ab_arg):
             return lambda w, oo: fused_nerf._nerf_train_loss_S(
-                w, oo, d, t, dists, tg, cfg, tile, True, "float32", 40,
+                w, oo, d, t, dists, tg, cfg, tile, hp, "float32", 40,
                 ab_arg)
     else:
         t2 = jnp.broadcast_to(t, (N, cfg.num_samples))

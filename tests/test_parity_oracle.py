@@ -137,3 +137,45 @@ def test_nerf_input_grad_parity(rng):
     np.testing.assert_allclose(
         np.asarray(d_enc_j).reshape(-1, 33), d_enc_o, rtol=3e-4, atol=3e-5
     )
+
+
+def test_nerf_fused_high_tier_grad_parity(rng):
+    """The 'high' (bf16x3) matmul tier of the fused s-major train kernel
+    meets the SAME oracle-parity tolerances as the fp32-HIGHEST jnp gate
+    (rtol 3e-4 / atol 3e-5) — the evidence that backs using it as the
+    production precision for narrow configs (PERF.md round 4: 27.2 ->
+    20.0 ms/step on chip at grad deltas ~1e-4 of grad-max)."""
+    from lomanerf_tpu.models import NeRFConfig
+    from lomanerf_tpu.ops import fused_nerf
+
+    n_rays, s = 4, 30
+    ws, bs = _make_mlp(rng, [(33, 30), (30, 30), (30, 4)])
+    o = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    t = np.linspace(2.0, 6.0, s).astype(np.float32)
+    dists_1d = np.concatenate([t[1:] - t[:-1], [1e8]]).astype(np.float32)
+    pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+    enc = np.asarray(positional_encoding(jnp.asarray(pts), num_functions=5))
+    target = rng.random((n_rays, 3)).astype(np.float32)
+
+    loss_o, _ = oracle.nerf_forward(
+        enc.reshape(-1, 33), ws, bs, target, np.tile(dists_1d, (n_rays, 1))
+    )
+    d_ws_o, d_bs_o, _ = oracle.nerf_grad(
+        enc.reshape(-1, 33), ws, bs, target, np.tile(dists_1d, (n_rays, 1))
+    )
+
+    params = params_from_numpy(ws, bs)
+    cfg = NeRFConfig(num_samples=s, precision="high")
+    loss_f, grads = jax.value_and_grad(
+        lambda p: fused_nerf.nerf_train_loss(
+            p, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t),
+            jnp.asarray(dists_1d), jnp.asarray(target), cfg)
+    )(params)
+    np.testing.assert_allclose(float(loss_f), loss_o, rtol=1e-4)
+    for got, want in zip(grads["w"], d_ws_o):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4,
+                                   atol=3e-5)
+    for got, want in zip(grads["b"], d_bs_o):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4,
+                                   atol=3e-5)
