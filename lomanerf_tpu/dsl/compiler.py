@@ -82,8 +82,15 @@ def _to_jax(x):
 
 
 def _writeback(buf, val):
+    """Write a result pytree back into the caller's buffers in place —
+    recursing through struct (dict) values, whose arrays-of-structs are
+    marshalled as dicts of numpy arrays."""
     if isinstance(buf, np.ndarray):
         np.copyto(buf, np.asarray(val).astype(buf.dtype, copy=False))
+    elif isinstance(buf, dict) and isinstance(val, dict):
+        for k, v in val.items():
+            if k in buf:
+                _writeback(buf[k], v)
 
 
 def _accum_into(buf, adj):

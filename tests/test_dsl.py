@@ -986,3 +986,72 @@ h_f = rev_diff(d_f)
     )
     d2 = float(np.asarray(adj["x"]["val"]))
     assert np.isclose(d2, 6 * x, rtol=1e-4)  # f'' = 6x
+
+
+def test_simd_vmap_fallback_correctness():
+    """Bodies the vmap planner must REJECT still run correctly through the
+    sequential-scan fallback: a tid alias that is reassigned (no longer
+    provably thread_id()) and an accumulator that is also read (order-
+    dependent).  Results must match the sequential semantics."""
+    from lomanerf_tpu.dsl import parser as dslparser
+    from lomanerf_tpu.dsl.lower import Lowerer
+
+    code = """
+@simd
+def shifted_write(x : In[Array[float]], z : Out[Array[float]]):
+    i : int = thread_id()
+    i = i + 1
+    z[i - 1] = x[i - 1] * 2.0
+
+@simd
+def running_read(total : Out[Array[float, 1]]):
+    atomic_add(total[0], total[0] + 1.0)
+"""
+    _, funcs = dslparser.parse(code)
+    low = Lowerer({}, funcs)
+    # both must fall back (plan None)
+    assert low._simd_vmap_plan(funcs["shifted_write"], 16) is None
+    assert low._simd_vmap_plan(funcs["running_read"], 5) is None
+
+    _, lib = dsl.compile(code)
+    n = 16
+    x = np.arange(n, dtype=np.float32)
+    z = np.zeros(n, np.float32)
+    lib.shifted_write(x, z, n)
+    np.testing.assert_allclose(z, 2.0 * x, rtol=1e-6)
+    # sequential semantics: t_k = 2*t_{k-1} + 1 -> 2^k - 1
+    total = np.zeros(1, np.float32)
+    lib.running_read(total, 5)
+    np.testing.assert_allclose(total[0], 2.0**5 - 1)
+
+
+def test_simd_vmap_struct_slots():
+    """Struct-of-arrays slots take the vmap path: each thread writes its
+    own struct element through thread_id()."""
+    from lomanerf_tpu.dsl import parser as dslparser
+    from lomanerf_tpu.dsl.lower import Lowerer
+
+    code = """
+class Pair:
+    a : float
+    b : float
+
+@simd
+def make_pairs(x : In[Array[float]], out : Out[Array[Pair]]):
+    i : int = thread_id()
+    out[i].a = x[i] + 1.0
+    out[i].b = x[i] * 3.0
+"""
+    structs, funcs = dslparser.parse(code)
+    low = Lowerer(structs, funcs)
+    plan = low._simd_vmap_plan(funcs["make_pairs"], 8)
+    assert plan is not None and "out" in plan[0]
+
+    _, lib = dsl.compile(code)
+    n = 8
+    x = np.arange(n, dtype=np.float32)
+    out_a = np.zeros(n, np.float32)
+    out_b = np.zeros(n, np.float32)
+    lib.make_pairs(x, {"a": out_a, "b": out_b}, n)
+    np.testing.assert_allclose(out_a, x + 1.0, rtol=1e-6)
+    np.testing.assert_allclose(out_b, x * 3.0, rtol=1e-6)
