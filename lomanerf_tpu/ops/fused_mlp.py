@@ -26,8 +26,9 @@ def _interpret() -> bool:
 
 
 # bf16x3 emulation shared with the NeRF kernels (Mosaic has no
-# Precision.HIGH; see ops.fused_nerf.BF16X3).
-from lomanerf_tpu.ops.fused_nerf import BF16X3, _dot_general3
+# Precision.HIGH; see pallas_utils.dot_general_bf16x3).
+from lomanerf_tpu.ops.pallas_utils import BF16X3, \
+    dot_general_bf16x3 as _dot_general3
 
 
 def _dot(a, b, precision):

@@ -50,35 +50,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# Sentinel for the manual bf16x3 tier: Mosaic's pallas dot lowering
-# supports only DEFAULT and HIGHEST, and HIGHEST's ~6-pass fp32 emulation
-# dominates the narrow train step (27.2 -> 11.2 ms at DEFAULT,
-# artifacts/r4_precision_ab.log).  bf16x3 splits each fp32 operand into
-# hi+lo bf16 halves and takes the three significant cross products —
-# ~fp32 accuracy at ~half HIGHEST's matmul cost.
-BF16X3 = "bf16x3"
-
-
-def _split_bf16(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _dot_general3(a, b, dims):
-    a = a.astype(jnp.float32)
-    b = b.astype(jnp.float32)
-    a_hi, a_lo = _split_bf16(a)
-    b_hi, b_lo = _split_bf16(b)
-
-    def dg(x, y):
-        return jax.lax.dot_general(
-            x, y, dims, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    return dg(a_hi, b_lo) + dg(a_lo, b_hi) + dg(a_hi, b_hi)
-
+# bf16x3 precision tier (see pallas_utils.dot_general_bf16x3).
+BF16X3 = pu.BF16X3
+_dot_general3 = pu.dot_general_bf16x3
 
 def _dot(a, b, precision):
     dims = (((1,), (0,)), ((), ()))

@@ -258,3 +258,37 @@ def stack_padded_params_T(params, ps: int):
         )
         b_stack = b_stack.at[: b.shape[0], i].set(b.astype(jnp.float32))
     return w_stack, b_stack
+
+
+# ---------------------------------------------------------------------------
+# bf16x3 matmul tier: Mosaic's pallas dot lowering supports only DEFAULT
+# and HIGHEST, and HIGHEST's ~6-pass fp32 emulation dominates narrow train
+# steps (27.2 -> 11.2 ms at DEFAULT, artifacts/r4_precision_ab.log).
+# bf16x3 splits each fp32 operand into hi+lo bf16 halves and takes the
+# three significant cross products at DEFAULT precision — ~fp32 accuracy
+# (grads within ~1e-4 of HIGHEST on chip) at ~half the matmul cost.
+# Kernels map the "high" precision request to the BF16X3 sentinel.
+# ---------------------------------------------------------------------------
+
+BF16X3 = "bf16x3"
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot_general_bf16x3(a, b, dims):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+
+    def dg(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return dg(a_hi, b_lo) + dg(a_lo, b_hi) + dg(a_hi, b_hi)
