@@ -422,7 +422,16 @@ class Lowerer:
         env = {a.id: v for a, v in zip(f.args, arg_vals)}
         if thread_id is not None:
             env["__thread_id__"] = thread_id
-        env = self.exec_stmts(f.body, env)
+        # slotted-name interception is scoped to the @simd BODY frame:
+        # a callee whose parameter happens to share a slotted buffer's
+        # name must index its own (by-value) arrays normally.  Copy-out
+        # runs in the caller's frame afterwards, where slotting applies.
+        prev = self._slotted
+        self._slotted = frozenset()
+        try:
+            env = self.exec_stmts(f.body, env)
+        finally:
+            self._slotted = prev
         mutable = {
             a.id: env[a.id]
             for a in f.args
@@ -446,6 +455,21 @@ class Lowerer:
         (last-writer / read-your-predecessors semantics).
         """
         plan = self._simd_vmap_plan(f, total_work)
+        if plan is not None:
+            slotted, accums = plan
+            # accumulator contributions materialize as (total_work, *shape)
+            # before the sum; bail to the memory-bounded scan when that
+            # would be huge.  Sized from the RUNTIME values (unsized
+            # Array[...] accumulators have no static size in the IR).
+            if accums:
+                elems = sum(
+                    int(z.size)
+                    for a, v in zip(f.args, arg_vals)
+                    if a.id in accums
+                    for z in jax.tree.leaves(v)
+                )
+                if total_work * elems > (1 << 24):
+                    plan = None
         if plan is not None:
             return self._run_simd_vmap(f, arg_vals, total_work, *plan)
         return self._run_simd_scan(f, arg_vals, total_work)
@@ -683,17 +707,9 @@ class Lowerer:
                 accums.add(name)
             else:
                 return None  # order-dependent (incl. slot+read mixes)
-        # accumulator contributions materialize as (total_work, *shape);
-        # bail to the memory-bounded scan when that would be huge
-        if accums:
-            elems = 0
-            for a in f.args:
-                if a.id in accums:
-                    elems += sum(
-                        z.size for z in jax.tree.leaves(zero_value(a.t))
-                    )
-            if total_work * elems > (1 << 24):
-                return None
+        # (the accumulator-size memory guard runs in run_simd, where the
+        # runtime values are available — unsized Array accumulators carry
+        # no static size here)
         return frozenset(slotted), frozenset(accums)
 
     def _run_simd_vmap(self, f: ir.FunctionDef, arg_vals: List[Any],

@@ -25,37 +25,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# bf16x3 emulation shared with the NeRF kernels (Mosaic has no
-# Precision.HIGH; see pallas_utils.dot_general_bf16x3).
-from lomanerf_tpu.ops.pallas_utils import BF16X3, \
-    dot_general_bf16x3 as _dot_general3
-
-
-def _dot(a, b, precision):
-    dims = (((1,), (0,)), ((), ()))
-    if precision == BF16X3:
-        return _dot_general3(a, b, dims)
-    return jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32, precision=precision,
-    )
-
-
-def _dot_t(a, b, precision):
-    dims = (((1,), (1,)), ((), ()))
-    if precision == BF16X3:
-        return _dot_general3(a, b, dims)
-    return jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32, precision=precision,
-    )
-
-
-def _dot_tt(a, b, precision):
-    dims = (((0,), (0,)), ((), ()))
-    if precision == BF16X3:
-        return _dot_general3(a, b, dims)
-    return jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32, precision=precision,
-    )
+# bf16x3 tier + shared dot wrappers (see pallas_utils).
+from lomanerf_tpu.ops.pallas_utils import BF16X3  # noqa: F401
+from lomanerf_tpu.ops.pallas_utils import mm as _dot, mm_t as _dot_t, \
+    mm_tt as _dot_tt
 
 
 def _encode(coords_ref, E_ref, m_ref, precision):
@@ -106,13 +79,7 @@ def _bwd_kernel(coords_ref, E_ref, m_ref, w_ref, b_ref, dout_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_field_fns(L, rows_tile, pw, in_dim, num_functions, highest_prec):
-    precision = {
-        True: jax.lax.Precision.HIGHEST,
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT,
-        "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     E_np, m_np = pu.build_encoding_consts(in_dim, num_functions, pw)
 
     def in_specs():

@@ -50,41 +50,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# bf16x3 precision tier (see pallas_utils.dot_general_bf16x3).
+# bf16x3 precision tier + shared dot wrappers (pallas_utils).
 BF16X3 = pu.BF16X3
 _dot_general3 = pu.dot_general_bf16x3
-
-def _dot(a, b, precision):
-    dims = (((1,), (0,)), ((), ()))
-    if precision == BF16X3:
-        return _dot_general3(a, b, dims)
-    return jax.lax.dot_general(
-        a, b, dims,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-
-
-def _dot_t(a, b, precision):
-    """a @ b.T via contraction on dim 1."""
-    dims = (((1,), (1,)), ((), ()))
-    if precision == BF16X3:
-        return _dot_general3(a, b, dims)
-    return jax.lax.dot_general(
-        a, b, dims,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-
-
-def _dot_tt(a, b, precision):
-    """a.T @ b via contraction on dim 0 (rows)."""
-    dims = (((0,), (0,)), ((), ()))
-    if precision == BF16X3:
-        return _dot_general3(a, b, dims)
-    return jax.lax.dot_general(
-        a, b, dims,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-
+_dot, _dot_t, _dot_tt = pu.mm, pu.mm_t, pu.mm_tt
 
 def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
@@ -332,12 +301,7 @@ def _nerf_train_kernel(
 @functools.lru_cache(maxsize=None)
 def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                      compute_dtype="float32", ablate=""):
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
     dsel_np = np.zeros((8, 128), np.float32)
@@ -783,11 +747,7 @@ def _nerf_backward_kernel_T(
 @functools.lru_cache(maxsize=None)
 def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
                        highest_prec, compute_dtype="float32"):
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_T(in_dim, num_functions, ps)
     in_pad = E_np.shape[1]
@@ -885,12 +845,7 @@ def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
 @functools.lru_cache(maxsize=None)
 def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
                      compute_dtype, ablate=""):
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_T(in_dim, num_functions, ps)
     in_pad = E_np.shape[1]
@@ -1166,11 +1121,7 @@ def _nerf_train_kernel_S(
 @functools.lru_cache(maxsize=None)
 def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
                      compute_dtype, ablate="", pack=1):
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     kernel = functools.partial(
         _nerf_train_kernel_S, L=L, R=R, S=S, mode=mode, precision=precision,
@@ -1346,11 +1297,7 @@ def _nerf_backward_kernel_S(
 @functools.lru_cache(maxsize=None)
 def _make_render_fns_S(L, R, S, ps, in_dim, num_functions, mode,
                        highest_prec, compute_dtype="float32"):
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     fwd_kernel = functools.partial(
         _nerf_forward_kernel_S, L=L, R=R, S=S, mode=mode, precision=precision,
@@ -1604,11 +1551,7 @@ def _rm_smajor_ray_layout(origins, directions, tile_rays):
 @functools.lru_cache(maxsize=None)
 def _make_train_fn_W(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                      compute_dtype):
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
     kernel = functools.partial(
@@ -1712,11 +1655,7 @@ def _nerf_train_loss_W(
 @functools.lru_cache(maxsize=None)
 def _make_render_fns_W(L, R, S, pw, in_dim, num_functions, mode,
                        highest_prec, compute_dtype="float32", ablate=""):
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
     fwd_kernel = functools.partial(
@@ -1812,12 +1751,7 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
                    compute_dtype):
     """Fused loss+grad: loss(w, b, pts, dists, targets) as a custom_vjp whose
     forward pass ALSO produces dW/db (one kernel launch per train step)."""
-    precision = {
-        True: jax.lax.Precision.HIGHEST, "highest": jax.lax.Precision.HIGHEST,
-        # Mosaic rejects HIGH ("Unsupported dot precision"); use HIGHEST
-        "high": BF16X3,
-        False: jax.lax.Precision.DEFAULT, "default": jax.lax.Precision.DEFAULT,
-    }[highest_prec]
+    precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_pk(in_dim, num_functions, pw)
     dsel_np = np.zeros((8, 128), np.float32)

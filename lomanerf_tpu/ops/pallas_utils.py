@@ -292,3 +292,41 @@ def dot_general_bf16x3(a, b, dims):
         )
 
     return dg(a_hi, b_lo) + dg(a_lo, b_hi) + dg(a_hi, b_hi)
+
+
+def resolve_precision(spec):
+    """Map a kernel precision request to a dot-precision token.
+
+    True/"highest" = exact fp32 (Mosaic's multi-pass emulation),
+    "high" = the BF16X3 manual tier, False/"default" = single bf16 pass.
+    """
+    return {
+        True: jax.lax.Precision.HIGHEST,
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": BF16X3,
+        False: jax.lax.Precision.DEFAULT,
+        "default": jax.lax.Precision.DEFAULT,
+    }[spec]
+
+
+def _dot_dims(a, b, dims, precision):
+    if precision == BF16X3:
+        return dot_general_bf16x3(a, b, dims)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def mm(a, b, precision):
+    """a @ b (contract a dim 1 with b dim 0), fp32 accumulation."""
+    return _dot_dims(a, b, (((1,), (0,)), ((), ())), precision)
+
+
+def mm_t(a, b, precision):
+    """a @ b.T via contraction on dim 1."""
+    return _dot_dims(a, b, (((1,), (1,)), ((), ())), precision)
+
+
+def mm_tt(a, b, precision):
+    """a.T @ b via contraction on dim 0 (rows)."""
+    return _dot_dims(a, b, (((0,), (0,)), ((), ())), precision)

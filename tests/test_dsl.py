@@ -1055,3 +1055,51 @@ def make_pairs(x : In[Array[float]], out : Out[Array[Pair]]):
     lib.make_pairs(x, {"a": out_a, "b": out_b}, n)
     np.testing.assert_allclose(out_a, x + 1.0, rtol=1e-6)
     np.testing.assert_allclose(out_b, x * 3.0, rtol=1e-6)
+
+
+def test_simd_unsized_accumulator_runs():
+    """An @simd reduction into an UNSIZED Out[Array[float]] accumulator
+    must dispatch (the vmap memory guard sizes from runtime values, not
+    the static type, which has no size here)."""
+    code = """
+@simd
+def reduce_unsized(x : In[Array[float]], total : Out[Array[float]]):
+    atomic_add(total[0], x[thread_id()])
+"""
+    _, lib = dsl.compile(code)
+    n = 1000
+    x = np.arange(n, dtype=np.float32) / n
+    total = np.zeros(1, np.float32)
+    lib.reduce_unsized(x, total, n)
+    np.testing.assert_allclose(total[0], x.sum(), rtol=1e-5)
+
+
+def test_simd_vmap_callee_name_collision():
+    """A user callee whose parameter shares a SLOTTED buffer's name must
+    index its own (by-value) arrays normally — the slotted-name
+    interception is scoped to the @simd body frame."""
+    code = """
+def fill(out : Out[Array[float, 2]]):
+    out[0] = 7.0
+    out[1] = 9.0
+
+@simd
+def k(x : In[Array[float]], out : Out[Array[float]]):
+    tmp : Array[float, 2]
+    fill(tmp)
+    out[thread_id()] = tmp[0] + tmp[1] + x[thread_id()]
+"""
+    from lomanerf_tpu.dsl import parser as dslparser
+    from lomanerf_tpu.dsl.lower import Lowerer
+
+    _, funcs = dslparser.parse(code)
+    low = Lowerer({}, funcs)
+    plan = low._simd_vmap_plan(funcs["k"], 4)
+    assert plan is not None and "out" in plan[0]  # vmap path taken
+
+    _, lib = dsl.compile(code)
+    n = 4
+    x = np.arange(n, dtype=np.float32)
+    out = np.zeros(n, np.float32)
+    lib.k(x, out, n)
+    np.testing.assert_allclose(out, 16.0 + x, rtol=1e-6)
