@@ -935,9 +935,16 @@ def _nerf_train_loss_T(
         origins, directions, t_vals, dists, S, tile_rays
     )
     # per-ray targets replicated across samples: (8, rows) so the kernel's
-    # loss/cotangent math stays in the transposed lane layout
-    tgt_rows = jnp.repeat(pad_rays(target.astype(jnp.float32)), S, axis=0)
-    tgtT = jnp.pad(tgt_rows.T, ((0, 5), (0, 0)))  # (8, n_pad*S)
+    # loss/cotangent math stays in the transposed lane layout.  Built
+    # directly transposed (broadcast of the tiny (3, n_pad) transpose) —
+    # the previous repeat+transpose of the O(N*S) result cost ~4 ms at the
+    # parity shape (artifacts/r3_prep_ablate.log)
+    tgt_t = pad_rays(target.astype(jnp.float32)).T  # (3, n_pad)
+    n_pad2 = tgt_t.shape[1]
+    tgtT = jnp.pad(
+        jnp.broadcast_to(tgt_t[:, :, None], (3, n_pad2, S)).reshape(3, -1),
+        ((0, 5), (0, 0)),
+    )  # (8, n_pad*S)
 
     w_stack, b_stack = pu.stack_padded_params_T(params, ps)
     fused = _make_train_fn_T(
@@ -1867,18 +1874,27 @@ def _packed_ray_layout(origins, directions, t_vals, dists, S, tile_rays):
 
 
 def _transposed_ray_layout(origins, directions, t_vals, dists, S, tile_rays):
-    """Pad rays to the tile, build (8, rows) pts^T and (1, rows) dists^T."""
+    """Pad rays to the tile, build (8, rows) pts^T and (1, rows) dists^T.
+
+    pts^T is CONSTRUCTED directly in the transposed layout: only the tiny
+    (n, 3) ray arrays are transposed, and the (3, n_pad, S) sample tensor
+    collapses its minor dims for free.  The previous formulation computed
+    (n_pad*S, 3) points and minor-dim-3-transposed the O(N*S) result —
+    measured at 7.1 ms of the 26 ms single64 step (94 MB / 11.4 ms at the
+    parity shape, artifacts/r3_prep_ablate.log class)."""
     n = origins.shape[0]
     n_pad = pu.round_up(max(n, tile_rays), tile_rays)
 
     def pad_rays(x):
         return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
 
-    o = pad_rays(origins.astype(jnp.float32))
-    d = pad_rays(directions.astype(jnp.float32))
-    t = pad_rays(t_vals.astype(jnp.float32))
-    pts = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(n_pad * S, 3)
-    ptsT = jnp.pad(pts.T, ((0, 5), (0, 0)))  # (8, rows)
+    o_t = pad_rays(origins.astype(jnp.float32)).T  # (3, n_pad): tiny
+    d_t = pad_rays(directions.astype(jnp.float32)).T
+    t = pad_rays(t_vals.astype(jnp.float32))  # (n_pad, S)
+    ptsT = (
+        o_t[:, :, None] + d_t[:, :, None] * t[None, :, :]
+    ).reshape(3, n_pad * S)  # lane r*S + s — the T order, built in place
+    ptsT = jnp.pad(ptsT, ((0, 5), (0, 0)))  # (8, rows)
     distsT = pad_rays(dists.astype(jnp.float32)).reshape(1, n_pad * S)
     return ptsT, distsT, n_pad, pad_rays
 

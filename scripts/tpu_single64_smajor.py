@@ -67,3 +67,12 @@ timeit("forced s-major R=128 remat_enc",
            w, oo, d, t, dists, tg, cfg, 128,
            getattr(cfg, "precision", "highest"), "float32", 64,
            "remat_enc"))
+timeit("forced s-major R=64",
+       lambda w, oo: fused_nerf._nerf_train_loss_S(
+           w, oo, d, t, dists, tg, cfg, 64,
+           getattr(cfg, "precision", "highest"), "float32", 64))
+timeit("forced s-major R=64 remat_enc",
+       lambda w, oo: fused_nerf._nerf_train_loss_S(
+           w, oo, d, t, dists, tg, cfg, 64,
+           getattr(cfg, "precision", "highest"), "float32", 64,
+           "remat_enc"))
