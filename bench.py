@@ -41,6 +41,26 @@ PARITY_LAYERS = [(33, 30), (30, 30), (30, 4)]
 FIT_LAYERS = [(22, 16), (16, 16), (16, 3)]
 
 
+def emit(metric: str, value: float, unit: str, const_baseline: float,
+         live_baseline=None, **extra) -> None:
+    """Print the one-line JSON result.
+
+    ``vs_baseline`` is the headline multiplier: against the LIVE-measured
+    loma CPU oracle when ``--live-baseline`` ran, else the recorded
+    constant.  Both denominators are always self-described in the line
+    (``vs_baseline_const`` + ``baseline_live`` when measured) so readers
+    comparing BENCH_r*.json to PERF.md see which oracle rate each number
+    used — the live rate wanders 346-495 rays/s with host load."""
+    rec = {"metric": metric, "value": round(value, 1), "unit": unit,
+           "vs_baseline": round(value / (live_baseline or const_baseline), 2),
+           "vs_baseline_const": round(value / const_baseline, 2)}
+    if live_baseline:
+        rec["vs_baseline_live"] = rec["vs_baseline"]
+        rec["baseline_live"] = round(live_baseline, 1)
+    rec.update(extra)
+    print(json.dumps(rec))
+
+
 def measure_baseline_live(budget_s: float = 3.0) -> float:
     import numpy as np
 
@@ -150,15 +170,12 @@ def bench_fit(args) -> None:
     assert np.isfinite(lv), "non-finite loss in benchmark"
     assert len(set(losses_seen)) == len(losses_seen), losses_seen
     px_per_s = n_px / sorted(times)[len(times) // 2]
-    baseline = (measure_fit_baseline_live() if args.live_baseline
-                else LOMA_CPU_FIT_PX_PER_S)
-    print(json.dumps({
-        "metric": f"fit2d_train_px_per_s_chip[{backend}]"
-                  + ("" if args.config == "fit" else "[hires]"),
-        "value": round(px_per_s, 1),
-        "unit": "px/s",
-        "vs_baseline": round(px_per_s / baseline, 2),
-    }))
+    emit(
+        f"fit2d_train_px_per_s_chip[{backend}]"
+        + ("" if args.config == "fit" else "[hires]"),
+        px_per_s, "px/s", LOMA_CPU_FIT_PX_PER_S,
+        measure_fit_baseline_live() if args.live_baseline else None,
+    )
 
 
 def measure_render_baseline_live(budget_s: float = 3.0) -> float:
@@ -191,55 +208,51 @@ def measure_render_baseline_live(budget_s: float = 3.0) -> float:
 
 
 def bench_render(args) -> None:
-    """BASELINE config 5's single-chip slice: 800x800 render (eval path,
-    flagship MLP) rays/s.  The multi-host story for this rung is
-    docs/scaling.md + __graft_entry__.dryrun_multichip; per-chip render
-    throughput is what one chip contributes to the pod-scale render."""
+    """BASELINE config 5: 800x800 render (eval path, flagship MLP) rays/s
+    through the PRODUCTION mesh-sharded render (parallel/render_step.py):
+    the frame's ray chunks sharded over a data mesh of all local devices
+    (one chip here — the all-gather is a no-op on a 1-device axis, so this
+    measures the per-chip slice of the pod render), reassembled in-program
+    by tiled all_gather."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from lomanerf_tpu.core import sample_along_rays, init_mlp
+    from lomanerf_tpu.core import init_mlp
     from lomanerf_tpu.models import NeRFConfig
-    from lomanerf_tpu.ops import fused_nerf
+    from lomanerf_tpu.parallel import data_mesh, shard_ray_chunks, \
+        sharded_render_fn
 
     cfg = NeRFConfig.full()
     n = args.rays or 800 * 800
     # rays per render dispatch; the production render path scans chunks
-    # inside one jit (models/nerf._render_chunks).  The s-major render
-    # kernels take O(N) ray bytes and write (N, 128), so chunks far larger
-    # than the historical 16384 fit HBM comfortably.
+    # inside one jit.  The s-major render kernels take O(N) ray bytes and
+    # write (N, 128), so chunks far larger than the historical 16384 fit
+    # HBM comfortably.
     chunk = args.render_chunk
-    n_pad = -(-n // chunk) * chunk
     params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels,
                       cfg.out_channels, cfg.num_layers, cfg.filter_size)
+    mesh = data_mesh()
+    n_dev = mesh.devices.size
     rng = np.random.default_rng(0)
-    o = jnp.asarray(
-        np.pad(rng.standard_normal((n, 3)), ((0, n_pad - n), (0, 0))),
-        jnp.float32).reshape(-1, chunk, 3)
-    d = jnp.asarray(
-        np.pad(rng.standard_normal((n, 3)), ((0, n_pad - n), (0, 0))),
-        jnp.float32).reshape(-1, chunk, 3)
-    _, t_vals, dists = sample_along_rays(
-        o[0], d[0], cfg.near, cfg.far, cfg.num_samples
+    oc, dc, _ = shard_ray_chunks(
+        mesh, rng.standard_normal((n, 3)), rng.standard_normal((n, 3)), chunk
     )
+    n_pad = oc.shape[0] * chunk
+    render = sharded_render_fn(cfg, mesh, backend="pallas")
     K = max(args.inner_steps // 4, 2)
 
     @jax.jit
     def run_k(salt):
         def frame(acc, i):
-            # one full 800x800 frame: scan over its ray chunks (the same
-            # shape as the production render); perturbed origins per
-            # chained frame so the relay cannot memoize and the fetched
-            # probe depends on every render
-            def body(a, oc_dc):
-                oc, dc = oc_dc
-                col = fused_nerf.render_rays(
-                    params, oc * (1.0 + salt + 1e-4 * i.astype(jnp.float32)),
-                    dc, t_vals, dists, cfg)
-                return a + jnp.mean(col), None
-            acc, _ = jax.lax.scan(body, acc, (o, d))
-            return acc, None
+            # one full 800x800 frame through the sharded render; perturbed
+            # origins per chained frame so the relay cannot memoize and the
+            # fetched probe depends on every render
+            cols = render(
+                params, oc * (1.0 + salt + 1e-4 * i.astype(jnp.float32)), dc
+            )
+            return acc + jnp.mean(cols), None
+
         acc, _ = jax.lax.scan(frame, jnp.float32(0.0),
                               jnp.arange(K, dtype=jnp.int32))
         return acc
@@ -254,14 +267,11 @@ def bench_render(args) -> None:
         seen.append(v)
     assert len(set(seen)) == len(seen), seen
     rays_per_s = n_pad / sorted(times)[len(times) // 2]
-    baseline = (measure_render_baseline_live() if args.live_baseline
-                else LOMA_CPU_RENDER_RAYS_PER_S)
-    print(json.dumps({
-        "metric": "nerf_render_rays_per_s_chip[pallas][800x800,full]",
-        "value": round(rays_per_s, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / baseline, 2),
-    }))
+    emit(
+        f"nerf_render_rays_per_s_chip[pallas][800x800,full,mesh={n_dev}]",
+        rays_per_s, "rays/s", LOMA_CPU_RENDER_RAYS_PER_S,
+        measure_render_baseline_live() if args.live_baseline else None,
+    )
 
 
 def main() -> None:
@@ -383,18 +393,11 @@ def main() -> None:
     assert len(set(losses_seen)) == len(losses_seen), losses_seen
     rays_per_s = args.rays / sorted(times)[len(times) // 2]
 
-    baseline = measure_baseline_live() if args.live_baseline else LOMA_CPU_RAYS_PER_S
-    print(
-        json.dumps(
-            {
-                "metric": f"nerf_train_rays_per_s_chip[{backend}]"
-                          + ("" if args.config == "small"
-                             else f"[{args.config}]"),
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / baseline, 2),
-            }
-        )
+    emit(
+        f"nerf_train_rays_per_s_chip[{backend}]"
+        + ("" if args.config == "small" else f"[{args.config}]"),
+        rays_per_s, "rays/s", LOMA_CPU_RAYS_PER_S,
+        measure_baseline_live() if args.live_baseline else None,
     )
 
 

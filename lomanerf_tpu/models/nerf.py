@@ -88,6 +88,7 @@ class NeRFModel:
 
             backend = resolve_backend(config, backend)
         self.backend = backend
+        self._render_steps = {}  # mesh -> jitted sharded render step
 
     def init(self, key: jax.Array) -> mlp.Params:
         c = self.config
@@ -130,7 +131,7 @@ class NeRFModel:
         return losses.sum_mse(pred, target)
 
     def render_image(
-        self, params, K, c2w, img_size: int, chunk: int = 4096
+        self, params, K, c2w, img_size: int, chunk: int = 4096, mesh=None
     ) -> jnp.ndarray:
         """Chunked full-image render (the reference renders view 2 every 25
         iters chunk-by-chunk, train_nerf.py:558-712).
@@ -138,7 +139,24 @@ class NeRFModel:
         All chunks run inside ONE jit via ``lax.scan``: a Python chunk loop
         pays one dispatch round-trip per chunk (~32 ms through this
         environment's device relay — 157 sequential RTTs for an 800x800
-        render), whereas the scan costs a single dispatch."""
+        render), whereas the scan costs a single dispatch.
+
+        With ``mesh``, the chunk list is sharded over the mesh's ``data``
+        axis (BASELINE config 5: rays sharded across chips/hosts) and the
+        frame reassembled by a tiled all-gather — see
+        ``parallel.render_step``."""
+        if mesh is not None:
+            from lomanerf_tpu.parallel import render_step
+
+            step = self._render_steps.get(mesh)
+            if step is None:
+                step = render_step.make_render_step(
+                    self.config, mesh, backend=self.backend
+                )
+                self._render_steps[mesh] = step
+            return render_step.sharded_render_image(
+                params, K, c2w, img_size, mesh, step, chunk=chunk
+            )
         o, d = rays.get_rays(img_size, img_size, K, c2w)
         n = o.shape[0]
         pad = (-n) % chunk
@@ -148,6 +166,25 @@ class NeRFModel:
         return cols[:n].reshape(img_size, img_size, 3)
 
 
+def render_chunk(config: NeRFConfig, backend: str, params, o, d):
+    """Render one (chunk, 3) ray block: sample depths, then the fused TPU
+    render kernel (``backend="pallas"``) or the jnp pipeline.  Shared by the
+    single-device chunk scan below and the mesh-sharded render step
+    (parallel/render_step.py)."""
+    _, tv, dists = rays.sample_along_rays(
+        o, d, config.near, config.far, config.num_samples
+    )
+    if backend == "pallas":
+        from lomanerf_tpu.ops import fused_nerf
+
+        return fused_nerf.render_rays(params, o, d, tv, dists, config)
+    return pipeline.nerf_render_rays(
+        params, o, d, tv, dists,
+        num_functions=config.num_encoding_functions,
+        mode=config.mode,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _render_chunks(config: NeRFConfig, backend: str, params, oc, dc):
     """Scan the per-chunk render over all (num_chunks, chunk, 3) ray blocks
@@ -155,20 +192,7 @@ def _render_chunks(config: NeRFConfig, backend: str, params, oc, dc):
 
     def body(_, od):
         o, d = od
-        _, tv, dists = rays.sample_along_rays(
-            o, d, config.near, config.far, config.num_samples
-        )
-        if backend == "pallas":
-            from lomanerf_tpu.ops import fused_nerf
-
-            col = fused_nerf.render_rays(params, o, d, tv, dists, config)
-        else:
-            col = pipeline.nerf_render_rays(
-                params, o, d, tv, dists,
-                num_functions=config.num_encoding_functions,
-                mode=config.mode,
-            )
-        return None, col
+        return None, render_chunk(config, backend, params, o, d)
 
     _, cols = jax.lax.scan(body, None, (oc, dc))
     return cols.reshape(-1, 3)

@@ -15,6 +15,12 @@ from lomanerf_tpu.parallel.tp import (  # noqa: F401
     tp_mlp_apply,
     tp_param_specs,
 )
+from lomanerf_tpu.parallel.render_step import (  # noqa: F401
+    make_render_step,
+    shard_ray_chunks,
+    sharded_render_fn,
+    sharded_render_image,
+)
 from lomanerf_tpu.parallel.train_step import (  # noqa: F401
     RayBatch,
     make_train_step,

@@ -74,9 +74,15 @@ def main(argv=None) -> None:
         params, _, step = mgr.restore(params, opt_state)
         print(f"rendering {args.orbit}-frame orbit from step {step}")
         K = normalized_intrinsics(args.focal)
+        # shard each frame's rays over all devices (parallel/render_step.py)
+        mesh = None
+        if jax.device_count() > 1:
+            from lomanerf_tpu.parallel import data_mesh
+
+            mesh = data_mesh()
         for pose in sphere_poses(args.orbit, radius=args.radius):
             img = model.render_image(params, K, jnp.asarray(pose),
-                                     args.img_size)
+                                     args.img_size, mesh=mesh)
             frames.append(
                 (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
             )

@@ -18,6 +18,7 @@ Run: ``python -m lomanerf_tpu.train.train_nerf --data synthetic --steps 500``
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 import numpy as np
@@ -27,6 +28,11 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="synthetic",
                     help="'synthetic' or a Blender-format dataset dir")
+    ap.add_argument("--preset", default=None,
+                    choices=["small", "single64", "full"],
+                    help="NeRFConfig ladder preset (BASELINE configs; "
+                         "overrides --layers/--width/--samples/--mode and "
+                         "sets the production compute dtype/precision)")
     ap.add_argument("--img-size", type=int, default=64)
     ap.add_argument("--steps", type=int, default=50000)
     ap.add_argument("--rays-per-batch", type=int, default=4096)
@@ -83,15 +89,23 @@ def main(argv=None) -> None:
     # multi-host first: the mesh below spans ALL processes' devices
     initialize_multihost(args.coordinator)
 
-    cfg = NeRFConfig(
-        num_layers=args.layers,
-        filter_size=args.width,
-        num_encoding_functions=args.enc_functions,
-        num_samples=args.samples,
-        near=args.near,
-        far=args.far,
-        mode=args.mode,
-    )
+    if args.preset:
+        cfg = {
+            "small": NeRFConfig.small,
+            "single64": NeRFConfig.single_view_64,
+            "full": NeRFConfig.full,
+        }[args.preset]()
+        cfg = dataclasses.replace(cfg, near=args.near, far=args.far)
+    else:
+        cfg = NeRFConfig(
+            num_layers=args.layers,
+            filter_size=args.width,
+            num_encoding_functions=args.enc_functions,
+            num_samples=args.samples,
+            near=args.near,
+            far=args.far,
+            mode=args.mode,
+        )
     from lomanerf_tpu.train.steps import resolve_backend
 
     args.backend = resolve_backend(cfg, args.backend)
@@ -218,11 +232,15 @@ def main(argv=None) -> None:
             break
 
         if i % args.eval_every == 0:
-            # SPMD-safe eval: every process renders (jit over the global
-            # replicated params is collective), only process 0 writes
+            # SPMD-safe eval with rays sharded over the mesh (BASELINE
+            # config 5: each device renders 1/N of the frame's chunks,
+            # reassembled by all-gather — parallel/render_step.py); only
+            # process 0 writes.  TP-sharded params take the plain jit path
+            # (XLA gathers the width shards for the render).
             view = args.eval_view % len(dataset)
             img = model.render_image(params, K, jnp.asarray(poses[view]),
-                                     args.img_size)
+                                     args.img_size,
+                                     mesh=mesh if tp == 1 else None)
             p = float(psnr(jnp.asarray(images[view]), img))
             psnrs.append(p)
             logger.log(i, loss=losses[-1], psnr=p)
