@@ -131,7 +131,7 @@ def bench_fit(args) -> None:
         backend = resolve_backend(cfg)
     params = init_mlp(
         jax.random.PRNGKey(0), cfg.in_channels, cfg.out_channels,
-        cfg.num_layers, cfg.filter_size,
+        cfg.num_layers, cfg.filter_size, init=cfg.init,
     )
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
@@ -231,7 +231,8 @@ def bench_render(args) -> None:
     # HBM comfortably.
     chunk = args.render_chunk
     params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels,
-                      cfg.out_channels, cfg.num_layers, cfg.filter_size)
+                      cfg.out_channels, cfg.num_layers, cfg.filter_size,
+                      init=cfg.init)
     mesh = data_mesh()
     n_dev = mesh.devices.size
     rng = np.random.default_rng(0)
@@ -332,7 +333,7 @@ def main() -> None:
             args.config]
     params = init_mlp(
         jax.random.PRNGKey(0), cfg.in_channels, cfg.out_channels,
-        cfg.num_layers, cfg.filter_size,
+        cfg.num_layers, cfg.filter_size, init=cfg.init,
     )
     opt = optax.adam(5e-4)
     opt_state = opt.init(params)

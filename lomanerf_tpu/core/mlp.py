@@ -53,13 +53,29 @@ def init_mlp(
 
     ``init="he"``: W ~ N(0, sqrt(2/fan_in)), b ~ N(0, 0.5)  (mlp_utils.py:175,196)
     ``init="randn"``: W, b ~ N(0, 1)                         (fit_img.py randn path)
+    ``init="nerf"``: He hidden weights, ZERO biases, head weights x0.1, and
+    a +0.5 density bias (channel 3 of an rgba head).  Deep (8x256) radiance
+    MLPs at plain He init start with a DEAD density head with probability
+    ~1/2: the per-unit constant component of the head pre-activation
+    (~N(0, 1.6)) dominates its across-point spread (~1.0)
+    (artifacts/r5_flagship_gradcheck.log — every gradient EXACTLY zero
+    through relu'(sigma<0)), so the sigma unit's sign is a coin flip.  The
+    positive density bias starts the field as thin fog — alpha > 0
+    everywhere, gradients alive through both the density and color paths —
+    the standard NeRF-practice init; the reference never hits this because
+    its loma kernels are capped at 3 layers x 32 wide (scripts/nerf.py:67).
     """
     ws, bs = [], []
     for fan_in, fan_out in mlp_layer_sizes(
         in_channels, out_channels, num_layers, filter_size
     ):
         key, kw, kb = jax.random.split(key, 3)
-        if init == "he":
+        if init == "nerf":
+            w = jax.random.normal(kw, (fan_in, fan_out), dtype) * jnp.sqrt(
+                jnp.asarray(2.0 / fan_in, dtype)
+            )
+            b = jnp.zeros((fan_out,), dtype)
+        elif init == "he":
             w = jax.random.normal(kw, (fan_in, fan_out), dtype) * jnp.sqrt(
                 jnp.asarray(2.0 / fan_in, dtype)
             )
@@ -71,6 +87,10 @@ def init_mlp(
             raise ValueError(f"unknown init {init!r}")
         ws.append(w)
         bs.append(b)
+    if init == "nerf":
+        ws[-1] = ws[-1] * jnp.asarray(0.1, dtype)
+        if out_channels >= 4:
+            bs[-1] = bs[-1].at[3].set(jnp.asarray(0.5, dtype))
     return {"w": ws, "b": bs}
 
 

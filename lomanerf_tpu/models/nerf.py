@@ -74,9 +74,14 @@ class NeRFConfig:
 
     @staticmethod
     def full() -> "NeRFConfig":
+        # init="nerf": deep radiance MLPs at plain He init start with a
+        # dead density head ~half the time (all-zero gradients — see
+        # core.mlp.init_mlp and artifacts/r5_flagship_gradcheck.log); the
+        # fog-start init trains (r5_headinit_check2.log: loss 287 -> 1.5
+        # over 300 fused-bf16 Adam steps on one batch)
         return NeRFConfig(
             num_layers=8, filter_size=256, num_samples=128, mode="standard",
-            compute_dtype="bfloat16", precision="default",
+            compute_dtype="bfloat16", precision="default", init="nerf",
         )
 
 

@@ -163,3 +163,40 @@ def test_train_nerf_driver_smoke(tmp_path, monkeypatch):
         "--log-dir", str(tmp_path / "logs_3d"),
         "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "0", "--resume",
     ])
+
+
+def test_flagship_init_density_alive(rng):
+    """The flagship config's init="nerf" must produce LIVE gradients.
+
+    At plain He init the deep 8x256 MLP's density head is dead with
+    probability ~1/2 (sigma < 0 for every sample point -> relu' kills every
+    gradient path EXACTLY: artifacts/r5_flagship_gradcheck.log showed 0.0
+    for all 16 leaves on the real chip).  The fog-start init (zero biases,
+    0.1x head weights, +0.5 density bias — core.mlp.init_mlp) keeps
+    alpha > 0 everywhere so the field can learn."""
+    import jax
+    import jax.numpy as jnp
+
+    from lomanerf_tpu.core import init_mlp, sample_along_rays
+    from lomanerf_tpu.models import NeRFConfig
+    from lomanerf_tpu.train.steps import nerf_loss_fn
+
+    cfg = NeRFConfig.full()
+    assert cfg.init == "nerf"
+    n = 8
+    params = init_mlp(jax.random.PRNGKey(215), cfg.in_channels,
+                      cfg.out_channels, cfg.num_layers, cfg.filter_size,
+                      init=cfg.init)
+    o = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    _, tv, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    tgt = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    loss, grads = jax.value_and_grad(
+        lambda p: nerf_loss_fn(p, o, d, tv, dists, tgt, cfg, "jnp")
+    )(params)
+    assert bool(jnp.isfinite(loss))
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+    assert gmax > 1e-6, f"dead init: max |grad| {gmax}"
+    # EVERY layer's weight gradient is alive (not just the head)
+    for i, g in enumerate(grads["w"]):
+        assert float(jnp.abs(g).max()) > 1e-10, f"layer {i} grad is zero"
