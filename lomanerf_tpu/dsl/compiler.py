@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from lomanerf_tpu.dsl import autodiff as dsl_ad
+from lomanerf_tpu.dsl import loopcheck
 from lomanerf_tpu.dsl import check as dsl_check
 from lomanerf_tpu.dsl import ir, parser
 from lomanerf_tpu.dsl import typecheck as dsl_typecheck
@@ -293,15 +294,99 @@ def compile(
     structs, funcs = parser.parse(code)
     dsl_check.check(structs, funcs)
     dsl_typecheck.infer(structs, funcs)  # static types + auto int<->float casts
-    lowerer = Lowerer(structs, funcs, loop_slack=loop_slack)
+
+    @functools.lru_cache(maxsize=None)
+    def entries_for(extend: int) -> Dict[str, Any]:
+        """All entries lowered with ``extend`` extra scan iterations per
+        bounded loop (0 = the plain user-requested loop_slack)."""
+        lowerer = Lowerer(structs, funcs, loop_slack=loop_slack,
+                          loop_extend=extend)
+        cache: Dict[str, dsl_ad.LoweredSpec] = {}
+        ents: Dict[str, Any] = {}
+        for name, f in funcs.items():
+            spec = _resolve_spec(name, funcs, lowerer, cache)
+            if isinstance(f, ir.FunctionDef):
+                ents[name] = _make_plain_entry(spec)
+            elif isinstance(f, ir.ForwardDiff):
+                ents[name] = _make_fwd_entry(spec)
+            else:
+                ents[name] = _make_rev_entry(spec)
+        return ents
+
+    def primal_def(f: ir.Func) -> ir.FunctionDef:
+        while not isinstance(f, ir.FunctionDef):
+            f = funcs[f.primal_func]
+        return f
+
     lib = JaxLib()
-    cache: Dict[str, dsl_ad.LoweredSpec] = {}
     for name, f in funcs.items():
-        spec = _resolve_spec(name, funcs, lowerer, cache)
-        if isinstance(f, ir.FunctionDef):
-            lib.add(name, _make_plain_entry(spec))
-        elif isinstance(f, ir.ForwardDiff):
-            lib.add(name, _make_fwd_entry(spec))
-        else:
-            lib.add(name, _make_rev_entry(spec))
+        bounds = loopcheck.analyze(primal_def(f))
+        lib.add(name, _autoslack_entry(name, f, primal_def(f), bounds,
+                                       loop_slack, entries_for))
     return structs, lib
+
+
+def _autoslack_entry(name: str, decl: ir.Func, primal: ir.FunctionDef,
+                     bounds, user_slack: int, entries_for):
+    """Wrap an entry with the loop-overrun auto-extension.
+
+    ``dsl/loopcheck.analyze`` recognizes counting loops whose bound is a
+    constant or an unmodified ``In[int]`` argument; constants resolve here
+    at compile time, argument bounds resolve per call from the concrete
+    value.  When a loop needs more iterations than ``max_iter +
+    loop_slack`` allows, the entry dispatches to a re-lowered variant with
+    the scan extended to cover it (semantically free — extra iterations
+    are condition-gated no-ops) and warns, instead of silently truncating.
+    The reference's own NeRF kernel needs this: its feature loop runs
+    layer_input_w=33 times under ``max_iter := 32`` (reference
+    scripts/nerf.py:85), legal in loma where max_iter only sizes the
+    reverse tape.  Loops the analysis can't see are caught at execution
+    time by lower.py's truncation guard."""
+    import warnings
+
+    from lomanerf_tpu.dsl.error import LoopBoundWarning
+
+    kind = ("plain" if isinstance(decl, ir.FunctionDef)
+            else "fwd" if isinstance(decl, ir.ForwardDiff) else "rev")
+    arg_pos = {a.id: i for i, a in enumerate(primal.args)}
+    const_extra = max(
+        (lb.extra_needed(lb.bound, user_slack)
+         for lb in bounds if isinstance(lb.bound, int)),
+        default=0,
+    )
+    dyn = [lb for lb in bounds if isinstance(lb.bound, str)]
+    warned: set = set()
+
+    if not dyn and not const_extra:
+        # nothing to probe: expose the base entry directly
+        return lambda *a: entries_for(0)[name](*a)
+
+    def entry(*call_args):
+        extra = const_extra
+        culprit = None
+        for lb in dyn:
+            i = arg_pos[lb.bound]
+            v = call_args[2 * i] if kind == "rev" else call_args[i]
+            if isinstance(v, dict):  # fwd-diff dual (ints pass through raw)
+                v = v.get("val", 0)
+            try:
+                v = int(np.asarray(v))
+            except (TypeError, ValueError):  # pragma: no cover
+                continue
+            e = lb.extra_needed(v, user_slack)
+            if e > extra:
+                extra, culprit = e, (lb, v)
+        if extra and (name, extra) not in warned:
+            warned.add((name, extra))
+            where = (f"line {culprit[0].lineno} (bound {culprit[0].bound}="
+                     f"{culprit[1]})" if culprit else "a constant-bound loop")
+            warnings.warn(
+                f"'{name}': the while loop at {where} runs more iterations "
+                f"than max_iter + loop_slack allows; auto-extending every "
+                f"scan by {extra} (legal in loma, where max_iter only "
+                f"sizes the reverse tape).",
+                LoopBoundWarning, stacklevel=2,
+            )
+        return entries_for(extra)[name](*call_args)
+
+    return entry

@@ -119,3 +119,11 @@ class UnknownFunction(UserError):
 
 class ParseError(UserError):
     pass
+
+
+class LoopBoundWarning(UserWarning):
+    """A bounded while loop needs more iterations than its ``max_iter``
+    (+ ``loop_slack``) budget; the compiler auto-extended the scan.
+
+    Legal in loma, where max_iter only sizes the reverse tape as the
+    product over the loop nest (reference reverse_diff.py:444-461)."""

@@ -132,11 +132,44 @@ _BUILTIN_FNS = {
 }
 
 
+# record of runtime loop truncations (lineno, budget) — appended by the
+# jax.debug.callback guard in _exec_while at EXECUTION time; tests and
+# tools read/clear it (warnings also fire, but callbacks may run off the
+# pytest-warning-capture thread)
+TRUNCATION_EVENTS: List[Tuple[int, int]] = []
+
+
+def report_truncation(still_true, lineno, budget) -> None:
+    import numpy as _np
+
+    if not _np.any(_np.asarray(still_true)):
+        return
+    lineno, budget = int(lineno), int(budget)
+    msg = (
+        f"bounded while loop at line {lineno} exhausted its scan budget "
+        f"({budget} iterations) with its condition still true: results are "
+        f"TRUNCATED. loma's max_iter only sizes the reverse tape "
+        f"(reference reverse_diff.py:444-461); recompile with "
+        f"loop_slack >= the overrun to run the remaining iterations."
+    )
+    if len(TRUNCATION_EVENTS) < 1000:
+        TRUNCATION_EVENTS.append((lineno, budget))
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning, stacklevel=2)
+
+
 class Lowerer:
     def __init__(self, structs: Dict[str, ir.Struct],
-                 funcs: Dict[str, ir.Func], loop_slack: int = 0):
+                 funcs: Dict[str, ir.Func], loop_slack: int = 0,
+                 loop_extend: int = 0, guard_truncation: bool = True):
         self.structs = structs
         self.funcs = funcs
+        # auto-extension computed by the compiler's static/call-time trip
+        # analysis (dsl/loopcheck.py) — same semantics as loop_slack but
+        # derived, not user-requested
+        self.loop_extend = loop_extend
+        self.guard_truncation = guard_truncation
         # loma's ``max_iter`` budgets the reverse-mode TAPE as the product
         # over the loop nest — its C backend emits a true ``while``, so a
         # single loop may legally exceed its own max_iter as long as the
@@ -394,9 +427,20 @@ class Lowerer:
             # from out-of-range reads, exactly like loma's runtime while
             return jax.lax.cond(pred, run_body, lambda c: c, carry), None
 
-        carry, _ = jax.lax.scan(
-            body, carry0, None, length=s.max_iter + self.loop_slack
-        )
+        budget = s.max_iter + self.loop_slack + self.loop_extend
+        carry, _ = jax.lax.scan(body, carry0, None, length=budget)
+        if self.guard_truncation:
+            # loud truncation guard: if the condition is STILL true after
+            # the scan budget, the loop wanted more iterations than
+            # max_iter (+slack) — legal in loma, whose max_iter only sizes
+            # the reverse tape (reference reverse_diff.py:444-461), but a
+            # hard bound for our scan.  The callback records the event and
+            # warns at execution time (transform-safe: fires under
+            # jit/jvp/vjp/vmap).
+            still = _as_bool(self.eval_expr(s.cond, dict(zip(keys, carry))))
+            jax.debug.callback(
+                report_truncation, still, s.lineno or 0, budget
+            )
         return dict(zip(keys, carry))
 
     def _coerce(self, val, t: ir.Type):
