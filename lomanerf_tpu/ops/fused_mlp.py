@@ -16,13 +16,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from lomanerf_tpu.ops import pallas_utils as pu
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 # bf16x3 tier + shared dot wrappers (see pallas_utils).
@@ -84,71 +79,40 @@ def _make_field_fns(L, rows_tile, pw, in_dim, num_functions, highest_prec):
 
     def in_specs():
         return [
-            pl.BlockSpec((rows_tile, in_dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_dim, pw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pu.bspec((rows_tile, in_dim), 0),
+            pu.bspec((in_dim, pw)),
+            pu.bspec((3, pw)),
+            pu.bspec((L, pw, pw)),
+            pu.bspec((L, pw)),
         ]
 
     def forward(w_stack, b_stack, coords):
         n_pad = coords.shape[0]
-        return pl.pallas_call(
+        return pu.tiled_call(
             functools.partial(_fwd_kernel, L=L, precision=precision),
-            grid=(n_pad // rows_tile,),
+            n_pad // rows_tile,
             in_specs=in_specs(),
-            out_specs=pl.BlockSpec((rows_tile, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pu.bspec((rows_tile, 128), 0),
             out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)
-            ),
-            interpret=_interpret(),
         )(coords, jnp.asarray(E_np), jnp.asarray(m_np), w_stack, b_stack)
 
     def backward(w_stack, b_stack, coords, d_out):
-        n_pad = coords.shape[0]
-        return pl.pallas_call(
+        return pu.tiled_call(
             functools.partial(_bwd_kernel, L=L, precision=precision),
-            grid=(n_pad // rows_tile,),
-            in_specs=in_specs() + [
-                pl.BlockSpec((rows_tile, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, pw), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            coords.shape[0] // rows_tile,
+            in_specs=in_specs() + [pu.bspec((rows_tile, 128), 0)],
+            out_specs=[pu.bspec((L, pw, pw)), pu.bspec((L, pw))],
             out_shape=[
                 jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
                 jax.ShapeDtypeStruct((L, pw), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)
-            ),
-            interpret=_interpret(),
         )(coords, jnp.asarray(E_np), jnp.asarray(m_np), w_stack, b_stack,
           d_out)
 
-    @jax.custom_vjp
-    def field(w_stack, b_stack, coords):
-        return forward(w_stack, b_stack, coords)
-
-    def field_fwd(w_stack, b_stack, coords):
-        return forward(w_stack, b_stack, coords), (w_stack, b_stack, coords)
-
-    def field_bwd(res, d_out):
-        w_stack, b_stack, coords = res
-        dw, db = backward(*res, d_out)
-        return dw, db, jnp.zeros_like(coords)
-
-    field.defvjp(field_fwd, field_bwd)
-    return field
+    # shared custom_vjp wiring (coords cotangent zero; identity dcol — every
+    # output lane is a real sigmoid channel, padding columns get zero
+    # cotangents from the caller's slice)
+    return pu.render_vjp(forward, backward, lambda d: d)
 
 
 def field_forward(

@@ -46,10 +46,6 @@ from lomanerf_tpu.ops import pallas_utils as pu
 EPS = 1e-10
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 # bf16x3 precision tier + shared dot wrappers (pallas_utils).
 BF16X3 = pu.BF16X3
 _dot_general3 = pu.dot_general_bf16x3
@@ -319,86 +315,48 @@ def _make_render_fns(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 
     def common_in_specs():
         return [
-            pl.BlockSpec((8, rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pu.bspec((8, rows), 1),
+            pu.bspec((8, 128)),
+            pu.bspec((8, pw)),
+            pu.bspec((3, pw)),
+            pu.bspec((L, pw, pw)),
+            pu.bspec((L, pw)),
         ]
 
     def forward(w_stack, b_stack, pk):
         n_rows = pk.shape[1]
-        n_tiles = n_rows // rows
-        w_stack = w_stack.astype(cdt)  # bf16 weights halve their VMEM block
-        return pl.pallas_call(
-            fwd_kernel,
-            grid=(n_tiles,),
+        # bf16 weights halve their VMEM block
+        return pu.tiled_call(
+            fwd_kernel, n_rows // rows,
             in_specs=common_in_specs(),
-            out_specs=pl.BlockSpec(
-                (R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            out_specs=pu.bspec((R, 128), 0),
             out_shape=jax.ShapeDtypeStruct((n_rows // S, 128), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            cost_estimate=pl.CostEstimate(
+            cost=pl.CostEstimate(
                 flops=2 * n_rows * pw * (pw * L + in_dim),
                 bytes_accessed=n_rows * 8 * 4 + (n_rows // S) * 512,
                 transcendentals=n_rows * pw * 2,
             ),
-            interpret=_interpret(),
         )(pk, jnp.asarray(dsel_np), jnp.asarray(E_np), jnp.asarray(m_np),
-          w_stack, b_stack)
+          w_stack.astype(cdt), b_stack)
 
     def backward(w_stack, b_stack, pk, d_colors):
-        n_rows = pk.shape[1]
-        n_tiles = n_rows // rows
-        w_stack = w_stack.astype(cdt)
-        in_specs = common_in_specs() + [
-            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
-        dw, db = pl.pallas_call(
-            bwd_kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, pw), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+        return pu.tiled_call(
+            bwd_kernel, pk.shape[1] // rows,
+            in_specs=common_in_specs() + [pu.bspec((R, 128), 0)],
+            out_specs=[pu.bspec((L, pw, pw)), pu.bspec((L, pw))],
             out_shape=[
                 jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
                 jax.ShapeDtypeStruct((L, pw), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(pk, jnp.asarray(dsel_np), jnp.asarray(E_np), jnp.asarray(m_np),
-          w_stack, b_stack, d_colors)
-        return dw, db
+          w_stack.astype(cdt), b_stack, d_colors)
 
-    @jax.custom_vjp
-    def render(w_stack, b_stack, pk):
-        return forward(w_stack, b_stack, pk)
-
-    def render_fwd(w_stack, b_stack, pk):
-        out = forward(w_stack, b_stack, pk)
-        return out, (w_stack, b_stack, pk)
-
-    def render_bwd(res, d_out):
-        w_stack, b_stack, pk = res
+    def dcol(d_out):
         # only lanes 0..2 of the output are real colors
         lane = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 1)
-        d_colors = jnp.where(lane < 3, d_out, 0.0)
-        dw, db = backward(w_stack, b_stack, pk, d_colors)
-        return dw, db, jnp.zeros_like(pk)
+        return jnp.where(lane < 3, d_out, 0.0)
 
-    render.defvjp(render_fwd, render_bwd)
-    return render
+    return pu.render_vjp(forward, backward, dcol)
 
 
 # ---------------------------------------------------------------------------
@@ -763,83 +721,45 @@ def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
 
     def common_in_specs():
         return [
-            pl.BlockSpec((in_pad, rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, in_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pu.bspec((in_pad, rows), 1),
+            pu.bspec((1, rows), 1),
+            pu.bspec((ps, in_pad)),
+            pu.bspec((ps, 3)),
+            pu.bspec((L, ps, ps)),
+            pu.bspec((ps, L)),
         ]
 
     def forward(w_stack, b_stack, ptsT, distsT):
-        n_tiles = ptsT.shape[1] // rows
-        return pl.pallas_call(
-            fwd_kernel,
-            grid=(n_tiles,),
+        return pu.tiled_call(
+            fwd_kernel, ptsT.shape[1] // rows,
             in_specs=common_in_specs(),
-            out_specs=pl.BlockSpec((8, rows), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pu.bspec((8, rows), 1),
             out_shape=jax.ShapeDtypeStruct((8, ptsT.shape[1]), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np),
           w_stack.astype(cdt), b_stack)
 
     def backward(w_stack, b_stack, ptsT, distsT, dcolT):
-        n_tiles = ptsT.shape[1] // rows
-        in_specs = common_in_specs() + [
-            pl.BlockSpec((8, rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ]
-        return pl.pallas_call(
-            bwd_kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ps, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+        return pu.tiled_call(
+            bwd_kernel, ptsT.shape[1] // rows,
+            in_specs=common_in_specs() + [pu.bspec((8, rows), 1)],
+            out_specs=[pu.bspec((L, ps, ps)), pu.bspec((ps, L))],
             out_shape=[
                 jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
                 jax.ShapeDtypeStruct((ps, L), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np),
           w_stack.astype(cdt), b_stack, dcolT)
 
-    @jax.custom_vjp
-    def render(w_stack, b_stack, ptsT, distsT):
-        return forward(w_stack, b_stack, ptsT, distsT)
-
-    def render_fwd(w_stack, b_stack, ptsT, distsT):
-        out = forward(w_stack, b_stack, ptsT, distsT)
-        return out, (w_stack, b_stack, ptsT, distsT)
-
-    def render_bwd(res, d_out):
-        w_stack, b_stack, ptsT, distsT = res
-        total = d_out.shape[1]
+    def dcol(d_out):
         # the wrapper reads only sublanes 0..2 at each ray's s == 0 lane;
         # broadcast those cotangents across each ray's samples for the
         # kernel's adjoint walk (and zero everything else)
+        total = d_out.shape[1]
         sub = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 0)
         d0 = jnp.where(sub < 3, d_out, 0.0).reshape(8, total // S, S)[..., 0]
-        dcolT = jnp.repeat(d0, S, axis=1)
-        dw, db = backward(w_stack, b_stack, ptsT, distsT, dcolT)
-        return dw, db, jnp.zeros_like(ptsT), jnp.zeros_like(distsT)
+        return jnp.repeat(d0, S, axis=1)
 
-    render.defvjp(render_fwd, render_bwd)
-    return render
+    return pu.render_vjp(forward, backward, dcol)
 
 
 @functools.lru_cache(maxsize=None)
@@ -857,70 +777,32 @@ def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
 
     def train_call(w_stack, b_stack, ptsT, distsT, tgtT, n_rays):
         n_tiles = ptsT.shape[1] // rows
-        w_c = w_stack.astype(cdt)
-        in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((in_pad, rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, in_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ]
-        loss, dw, db = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ps, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+        loss, dw, db = pu.tiled_call(
+            kernel, n_tiles,
+            in_specs=[
+                pu.bspec((1, 1), smem=True),
+                pu.bspec((in_pad, rows), 1),
+                pu.bspec((1, rows), 1),
+                pu.bspec((ps, in_pad)),
+                pu.bspec((ps, 3)),
+                pu.bspec((L, ps, ps)),
+                pu.bspec((ps, L)),
+                pu.bspec((8, rows), 1),
             ],
+            out_specs=[pu.bspec((1, 1)), pu.bspec((L, ps, ps)),
+                       pu.bspec((ps, L))],
             out_shape=[
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
                 jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
                 jax.ShapeDtypeStruct((ps, L), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
-        )(n_rays, ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np), w_c,
-          b_stack, tgtT)
+        )(n_rays, ptsT, distsT, jnp.asarray(E_np), jnp.asarray(m_np),
+          w_stack.astype(cdt), b_stack, tgtT)
         return loss[0, 0], dw, db
 
-    @jax.custom_vjp
-    def fused_loss(w_stack, b_stack, ptsT, distsT, tgtT, n_rays):
-        loss, _, _ = train_call(w_stack, b_stack, ptsT, distsT, tgtT, n_rays)
-        return loss
-
-    def fused_loss_fwd(w_stack, b_stack, ptsT, distsT, tgtT, n_rays):
-        loss, dw, db = train_call(w_stack, b_stack, ptsT, distsT, tgtT,
-                                  n_rays)
-        return loss, (dw, db, ptsT.shape, distsT.shape, tgtT.shape)
-
-    def fused_loss_bwd(res, g):
-        # data cotangents are structurally zero: the wrapper stop_gradients
-        # the ray inputs (training optimizes params only; see
-        # nerf_train_loss's docstring)
-        dw, db, pts_shape, dists_shape, tgt_shape = res
-        return (g * dw, g * db, jnp.zeros(pts_shape, jnp.float32),
-                jnp.zeros(dists_shape, jnp.float32),
-                jnp.zeros(tgt_shape, jnp.float32),
-                np.zeros((1, 1), jax.dtypes.float0))
-
-    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
-    return fused_loss
+    # shared custom_vjp wiring (pallas_utils.train_loss_vjp): signature
+    # fused_loss(w, b, ptsT, distsT, tgtT, n_smem) -> loss
+    return pu.train_loss_vjp(train_call)
 
 
 def _nerf_train_loss_T(
@@ -1141,42 +1023,25 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
         rows = R * S
         if pack > 1:
             w_stack, b_stack = _blockdiag_params(w_stack, b_stack, pack)
-        w_c = w_stack.astype(cdt)
-        in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, rows), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, kps, kps), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kps, L), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ]
-        loss, dw, db = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, kps, kps), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((kps, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+        loss, dw, db = pu.tiled_call(
+            kernel, n_tiles,
+            in_specs=[
+                pu.bspec((1, 1), smem=True),
+                pu.bspec((1, rows)),
+                pu.bspec((1, rows)),
+                pu.bspec((8, R), 1),
+                pu.bspec((L, kps, kps)),
+                pu.bspec((kps, L)),
+                pu.bspec((8, R), 1),
             ],
+            out_specs=[pu.bspec((1, 1)), pu.bspec((L, kps, kps)),
+                       pu.bspec((kps, L))],
             out_shape=[
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
                 jax.ShapeDtypeStruct((L, kps, kps), jnp.float32),
                 jax.ShapeDtypeStruct((kps, L), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
-        )(n_rays, t_row, d_row, raysT, w_c, b_stack, tgtT)
+        )(n_rays, t_row, d_row, raysT, w_stack.astype(cdt), b_stack, tgtT)
         if pack > 1:
             # fold the packed grads once per STEP in XLA (an in-kernel
             # per-tile fold would lane-slice at ps offsets 2048x per step)
@@ -1185,29 +1050,9 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
             db = sum(db[g * ps:(g + 1) * ps] for g in range(pack))
         return loss[0, 0], dw, db
 
-    @jax.custom_vjp
-    def fused_loss(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_rays):
-        loss, _, _ = train_call(w_stack, b_stack, raysT, tgtT, t_row, d_row,
-                                n_rays)
-        return loss
-
-    def fused_loss_fwd(w_stack, b_stack, raysT, tgtT, t_row, d_row, n_rays):
-        loss, dw, db = train_call(w_stack, b_stack, raysT, tgtT, t_row,
-                                  d_row, n_rays)
-        return loss, (dw, db, raysT.shape, tgtT.shape, t_row.shape,
-                      d_row.shape)
-
-    def fused_loss_bwd(res, g):
-        # data cotangents structurally zero (see nerf_train_loss docstring)
-        dw, db, rays_shape, tgt_shape, t_shape, d_shape = res
-        return (g * dw, g * db, jnp.zeros(rays_shape, jnp.float32),
-                jnp.zeros(tgt_shape, jnp.float32),
-                jnp.zeros(t_shape, jnp.float32),
-                jnp.zeros(d_shape, jnp.float32),
-                np.zeros((1, 1), jax.dtypes.float0))
-
-    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
-    return fused_loss
+    # shared custom_vjp wiring: fused_loss(w, b, raysT, tgtT, t_row, d_row,
+    # n_smem) -> loss
+    return pu.train_loss_vjp(train_call)
 
 
 def _smajor_ray_layout(origins, directions, target, tile_rays):
@@ -1318,75 +1163,38 @@ def _make_render_fns_S(L, R, S, ps, in_dim, num_functions, mode,
     def common_in_specs():
         rows = R * S
         return [
-            pl.BlockSpec((1, rows), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pu.bspec((1, rows)),
+            pu.bspec((1, rows)),
+            pu.bspec((8, R), 1),
+            pu.bspec((L, ps, ps)),
+            pu.bspec((ps, L)),
         ]
 
     def forward(w_stack, b_stack, raysT, t_row, d_row):
-        n_tiles = raysT.shape[1] // R
-        return pl.pallas_call(
-            fwd_kernel,
-            grid=(n_tiles,),
+        return pu.tiled_call(
+            fwd_kernel, raysT.shape[1] // R,
             in_specs=common_in_specs(),
-            out_specs=pl.BlockSpec((8, R), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pu.bspec((8, R), 1),
             out_shape=jax.ShapeDtypeStruct((8, raysT.shape[1]), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(t_row, d_row, raysT, w_stack.astype(cdt), b_stack)
 
     def backward(w_stack, b_stack, raysT, t_row, d_row, dcolT):
-        n_tiles = raysT.shape[1] // R
-        in_specs = common_in_specs() + [
-            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ]
-        return pl.pallas_call(
-            bwd_kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((L, ps, ps), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ps, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+        return pu.tiled_call(
+            bwd_kernel, raysT.shape[1] // R,
+            in_specs=common_in_specs() + [pu.bspec((8, R), 1)],
+            out_specs=[pu.bspec((L, ps, ps)), pu.bspec((ps, L))],
             out_shape=[
                 jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
                 jax.ShapeDtypeStruct((ps, L), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(t_row, d_row, raysT, w_stack.astype(cdt), b_stack, dcolT)
 
-    @jax.custom_vjp
-    def render(w_stack, b_stack, raysT, t_row, d_row):
-        return forward(w_stack, b_stack, raysT, t_row, d_row)
-
-    def render_fwd(w_stack, b_stack, raysT, t_row, d_row):
-        out = forward(w_stack, b_stack, raysT, t_row, d_row)
-        return out, (w_stack, b_stack, raysT, t_row, d_row)
-
-    def render_bwd(res, d_out):
-        w_stack, b_stack, raysT, t_row, d_row = res
+    def dcol(d_out):
         # only sublanes 0..2 (rgb) of the per-ray output are real
         sub = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 0)
-        dcolT = jnp.where(sub < 3, d_out, 0.0)
-        dw, db = backward(w_stack, b_stack, raysT, t_row, d_row, dcolT)
-        return (dw, db, jnp.zeros_like(raysT), jnp.zeros_like(t_row),
-                jnp.zeros_like(d_row))
+        return jnp.where(sub < 3, d_out, 0.0)
 
-    render.defvjp(render_fwd, render_bwd)
-    return render
+    return pu.render_vjp(forward, backward, dcol)
 
 
 def _pick_tile_S(S, ps, L, itemsize, n_bufs=6,
@@ -1569,69 +1377,33 @@ def _make_train_fn_W(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
     def train_call(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row, n_rays):
         n_tiles = rays_rm.shape[0] // R
         rows = R * S
-        w_c = w_stack.astype(cdt)
-        in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((rows, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
-        loss, dw, db = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, pw), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+        loss, dw, db = pu.tiled_call(
+            kernel, n_tiles,
+            in_specs=[
+                pu.bspec((1, 1), smem=True),
+                pu.bspec((rows, 1)),
+                pu.bspec((rows, 1)),
+                pu.bspec((R, 8), 0),
+                pu.bspec((8, pw)),
+                pu.bspec((3, pw)),
+                pu.bspec((L, pw, pw)),
+                pu.bspec((L, pw)),
+                pu.bspec((R, 128), 0),
             ],
+            out_specs=[pu.bspec((1, 1)), pu.bspec((L, pw, pw)),
+                       pu.bspec((L, pw))],
             out_shape=[
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
                 jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
                 jax.ShapeDtypeStruct((L, pw), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(n_rays, t_row, d_row, rays_rm, jnp.asarray(E_np),
-          jnp.asarray(m_np), w_c, b_stack, tgt_pad)
+          jnp.asarray(m_np), w_stack.astype(cdt), b_stack, tgt_pad)
         return loss[0, 0], dw, db
 
-    @jax.custom_vjp
-    def fused_loss(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row, n_rays):
-        loss, _, _ = train_call(w_stack, b_stack, rays_rm, tgt_pad, t_row,
-                                d_row, n_rays)
-        return loss
-
-    def fused_loss_fwd(w_stack, b_stack, rays_rm, tgt_pad, t_row, d_row,
-                       n_rays):
-        loss, dw, db = train_call(w_stack, b_stack, rays_rm, tgt_pad, t_row,
-                                  d_row, n_rays)
-        return loss, (dw, db, rays_rm.shape, tgt_pad.shape, t_row.shape,
-                      d_row.shape)
-
-    def fused_loss_bwd(res, g):
-        dw, db, rays_shape, tgt_shape, t_shape, d_shape = res
-        return (g * dw, g * db, jnp.zeros(rays_shape, jnp.float32),
-                jnp.zeros(tgt_shape, jnp.float32),
-                jnp.zeros(t_shape, jnp.float32),
-                jnp.zeros(d_shape, jnp.float32),
-                np.zeros((1, 1), jax.dtypes.float0))
-
-    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
-    return fused_loss
+    # shared custom_vjp wiring: fused_loss(w, b, rays_rm, tgt_pad, t_row,
+    # d_row, n_smem) -> loss
+    return pu.train_loss_vjp(train_call)
 
 
 def _nerf_train_loss_W(
@@ -1677,80 +1449,42 @@ def _make_render_fns_W(L, R, S, pw, in_dim, num_functions, mode,
     def common_in_specs():
         rows = R * S
         return [
-            pl.BlockSpec((rows, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pu.bspec((rows, 1)),
+            pu.bspec((rows, 1)),
+            pu.bspec((R, 8), 0),
+            pu.bspec((8, pw)),
+            pu.bspec((3, pw)),
+            pu.bspec((L, pw, pw)),
+            pu.bspec((L, pw)),
         ]
 
     def forward(w_stack, b_stack, rays_rm, t_row, d_row):
-        n_tiles = rays_rm.shape[0] // R
-        return pl.pallas_call(
-            fwd_kernel,
-            grid=(n_tiles,),
+        return pu.tiled_call(
+            fwd_kernel, rays_rm.shape[0] // R,
             in_specs=common_in_specs(),
-            out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pu.bspec((R, 128), 0),
             out_shape=jax.ShapeDtypeStruct((rays_rm.shape[0], 128),
                                            jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(t_row, d_row, rays_rm, jnp.asarray(E_np), jnp.asarray(m_np),
           w_stack.astype(cdt), b_stack)
 
     def backward(w_stack, b_stack, rays_rm, t_row, d_row, dcol):
-        n_tiles = rays_rm.shape[0] // R
-        in_specs = common_in_specs() + [
-            pl.BlockSpec((R, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        return pl.pallas_call(
-            bwd_kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, pw), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+        return pu.tiled_call(
+            bwd_kernel, rays_rm.shape[0] // R,
+            in_specs=common_in_specs() + [pu.bspec((R, 128), 0)],
+            out_specs=[pu.bspec((L, pw, pw)), pu.bspec((L, pw))],
             out_shape=[
                 jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
                 jax.ShapeDtypeStruct((L, pw), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(t_row, d_row, rays_rm, jnp.asarray(E_np), jnp.asarray(m_np),
           w_stack.astype(cdt), b_stack, dcol)
 
-    @jax.custom_vjp
-    def render(w_stack, b_stack, rays_rm, t_row, d_row):
-        return forward(w_stack, b_stack, rays_rm, t_row, d_row)
-
-    def render_fwd(w_stack, b_stack, rays_rm, t_row, d_row):
-        out = forward(w_stack, b_stack, rays_rm, t_row, d_row)
-        return out, (w_stack, b_stack, rays_rm, t_row, d_row)
-
-    def render_bwd(res, d_out):
-        w_stack, b_stack, rays_rm, t_row, d_row = res
+    def dcol_fn(d_out):
         lane = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 1)
-        dcol = jnp.where(lane < 3, d_out, 0.0)
-        dw, db = backward(w_stack, b_stack, rays_rm, t_row, d_row, dcol)
-        return (dw, db, jnp.zeros_like(rays_rm), jnp.zeros_like(t_row),
-                jnp.zeros_like(d_row))
+        return jnp.where(lane < 3, d_out, 0.0)
 
-    render.defvjp(render_fwd, render_bwd)
-    return render
+    return pu.render_vjp(forward, backward, dcol_fn)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1771,62 +1505,31 @@ def _make_train_fn(L, R, S, pw, in_dim, num_functions, mode, highest_prec,
 
     def train_call(w_stack, b_stack, pk, tgt_pad, n_rays):
         n_tiles = pk.shape[1] // rows
-        w_c = w_stack.astype(cdt)
-        in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
-        loss, dw, db = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, pw, pw), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, pw), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+        loss, dw, db = pu.tiled_call(
+            kernel, n_tiles,
+            in_specs=[
+                pu.bspec((1, 1), smem=True),
+                pu.bspec((8, rows), 1),
+                pu.bspec((8, 128)),
+                pu.bspec((8, pw)),
+                pu.bspec((3, pw)),
+                pu.bspec((L, pw, pw)),
+                pu.bspec((L, pw)),
+                pu.bspec((R, 128), 0),
             ],
+            out_specs=[pu.bspec((1, 1)), pu.bspec((L, pw, pw)),
+                       pu.bspec((L, pw))],
             out_shape=[
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
                 jax.ShapeDtypeStruct((L, pw, pw), jnp.float32),
                 jax.ShapeDtypeStruct((L, pw), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=_interpret(),
         )(n_rays, pk, jnp.asarray(dsel_np), jnp.asarray(E_np),
-          jnp.asarray(m_np), w_c, b_stack, tgt_pad)
+          jnp.asarray(m_np), w_stack.astype(cdt), b_stack, tgt_pad)
         return loss[0, 0], dw, db
 
-    @jax.custom_vjp
-    def fused_loss(w_stack, b_stack, pk, tgt_pad, n_rays):
-        loss, _, _ = train_call(w_stack, b_stack, pk, tgt_pad, n_rays)
-        return loss
-
-    def fused_loss_fwd(w_stack, b_stack, pk, tgt_pad, n_rays):
-        loss, dw, db = train_call(w_stack, b_stack, pk, tgt_pad, n_rays)
-        return loss, (dw, db, pk.shape, tgt_pad.shape)
-
-    def fused_loss_bwd(res, g):
-        # data cotangents structurally zero (see nerf_train_loss docstring)
-        dw, db, pk_shape, tgt_shape = res
-        return (g * dw, g * db, jnp.zeros(pk_shape, jnp.float32),
-                jnp.zeros(tgt_shape, jnp.float32),
-                np.zeros((1, 1), jax.dtypes.float0))
-
-    fused_loss.defvjp(fused_loss_fwd, fused_loss_bwd)
-    return fused_loss
+    # shared custom_vjp wiring: fused_loss(w, b, pk, tgt_pad, n_smem)
+    return pu.train_loss_vjp(train_call)
 
 
 def _pick_tile_T(S, ps, L, itemsize, n_bufs=6,
