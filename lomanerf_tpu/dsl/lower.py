@@ -652,7 +652,7 @@ class Lowerer:
                 root, idx = chain_root(e)
                 if root in shared:
                     uses[root].add(
-                        "slot" if (idx is not None and is_tid(idx))
+                        "slot_read" if (idx is not None and is_tid(idx))
                         else "read"
                     )
                 walk_chain_indices(e)
@@ -682,10 +682,13 @@ class Lowerer:
                             ) else (None, None)
                             if isinstance(a, ir.Var) and a.id in shared:
                                 pass  # already "bad" from walk_expr
-                            elif root in shared and not (
-                                idx is not None and is_tid(idx)
-                            ):
-                                uses[root].add("bad")
+                            elif root in shared:
+                                # copy-out writes back through this arg
+                                uses[root].add(
+                                    "slot_write"
+                                    if (idx is not None and is_tid(idx))
+                                    else "bad"
+                                )
                 return
             return
 
@@ -697,7 +700,8 @@ class Lowerer:
             root, idx = chain_root(t)
             if root in shared:
                 uses[root].add(
-                    "slot" if (idx is not None and is_tid(idx)) else "bad"
+                    "slot_write" if (idx is not None and is_tid(idx))
+                    else "bad"
                 )
             walk_chain_indices(t)
 
@@ -730,7 +734,8 @@ class Lowerer:
                         root, idx = chain_root(t)
                         if root in shared:
                             uses[root].add(
-                                "slot" if (idx is not None and is_tid(idx))
+                                "slot_write"
+                                if (idx is not None and is_tid(idx))
                                 else "accum"
                             )
                         walk_chain_indices(t)
@@ -743,9 +748,13 @@ class Lowerer:
 
         slotted, accums = set(), set()
         for name, kinds in uses.items():
-            if not kinds or kinds == {"read"}:
-                continue  # untouched / read-only
-            if kinds == {"slot"}:
+            if not kinds or kinds <= {"read", "slot_read"}:
+                # untouched / read-only (including reads at [thread_id()]):
+                # stays SHARED — per-thread [tid] reads are plain gathers
+                # under vmap, so slotting (and the O(total_work) identity
+                # scatter-back it implies) would be pure overhead
+                continue
+            if kinds <= {"slot_write", "slot_read"}:
                 slotted.add(name)
             elif kinds == {"accum"}:
                 accums.add(name)

@@ -112,9 +112,20 @@ def get_lib(kernel: str):
     _raise_stack_limit()
     src_path = os.path.join(REFERENCE_ROOT, "scripts", f"{kernel}.py")
     so_path = os.path.join(ORACLE_CACHE, f"{kernel}.so")
+    # staleness = newest of the kernel DSL source AND the reference
+    # compiler itself (loma_public/*.py): a compiler change must invalidate
+    # the cached oracle binary, not silently reuse it
+    deps_mtime = os.path.getmtime(src_path)
+    compiler_dir = os.path.join(REFERENCE_ROOT, "loma_public")
+    if os.path.isdir(compiler_dir):
+        deps_mtime = max(
+            [deps_mtime]
+            + [os.path.getmtime(os.path.join(compiler_dir, f))
+               for f in os.listdir(compiler_dir) if f.endswith(".py")]
+        )
     if (
         os.path.exists(so_path)
-        and os.path.getmtime(so_path) >= os.path.getmtime(src_path)
+        and os.path.getmtime(so_path) >= deps_mtime
     ):
         lib = ctypes.CDLL(so_path)
         for sym in _FLOAT_SYMBOLS.get(kernel, []):

@@ -141,10 +141,9 @@ def main(argv=None) -> None:
             p = float(psnr(pred, jnp.asarray(target)))
             logger.log(i, loss=losses[-1], psnr=p)
             print(f"step {i} loss {losses[-1]:.4f} psnr {p:.2f} dB")
-            save_triptych(
-                os.path.join(args.log_dir, f"iter_{i}.png"),
-                target, np.asarray(pred), losses,
-            )
+            frame = os.path.join(args.log_dir, f"iter_{i}.png")
+            save_triptych(frame, target, np.asarray(pred), losses)
+            logger.log_image(i, "fit", frame)
         if args.ckpt_every and i and i % args.ckpt_every == 0:
             ckpt.save(i, params, opt_state)
 

@@ -57,6 +57,15 @@ class MetricsLogger:
         if self._wandb is not None:  # pragma: no cover
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, step: int, key: str, image) -> None:
+        """Forward a rendered figure/array/path to wandb (the reference
+        logs its triptych figures, train_nerf.py:710 / fit_img.py:557);
+        no-op without wandb or on non-primary processes."""
+        if not self.active or self._wandb is None:  # pragma: no cover
+            return
+        self._wandb.log({key: self._wandb.Image(image)},
+                        step=step)  # pragma: no cover
+
     def close(self) -> None:
         if self._f is not None:
             self._f.close()

@@ -246,10 +246,10 @@ def main(argv=None) -> None:
             logger.log(i, loss=losses[-1], psnr=p)
             if is_primary():
                 print(f"step {i} loss {losses[-1]:.4f} psnr {p:.2f} dB")
-                save_triptych(
-                    os.path.join(args.log_dir, f"{i}.png"),
-                    images[view], np.asarray(img), psnrs, curve_label="PSNR",
-                )
+                frame = os.path.join(args.log_dir, f"{i}.png")
+                save_triptych(frame, images[view], np.asarray(img), psnrs,
+                              curve_label="PSNR")
+                logger.log_image(i, "render", frame)
         if args.ckpt_every and i and i % args.ckpt_every == 0:
             ckpt.save(i, params, opt_state)
 

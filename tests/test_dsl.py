@@ -203,9 +203,12 @@ def racy_write(z : Out[Array[float]]):
     _, funcs = dslparser.parse(code)
     low = Lowerer({}, funcs)
     plan = low._simd_vmap_plan(funcs["parallel_add"], 1000)
-    assert plan == (frozenset({"x", "y", "z"}), frozenset())
+    # x, y are READ-ONLY at [thread_id()]: they stay shared (plain vmap
+    # gathers) instead of being slotted — slotting them would add an
+    # O(total_work) identity scatter-back (ADVICE r4 #2)
+    assert plan == (frozenset({"z"}), frozenset())
     plan = low._simd_vmap_plan(funcs["parallel_reduce"], 1000)
-    assert plan == (frozenset({"x"}), frozenset({"total"}))
+    assert plan == (frozenset(), frozenset({"total"}))
     # reads a neighbour's slot -> order-dependent -> scan
     assert low._simd_vmap_plan(funcs["prefix_scan_ish"], 1000) is None
     # non-thread-indexed write -> race -> scan
