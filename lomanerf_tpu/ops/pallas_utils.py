@@ -366,9 +366,14 @@ def bspec(shape, tile_axis=None, smem=False):
     )
 
 
-def tiled_call(kernel, n_tiles, in_specs, out_specs, out_shape, cost=None):
+def tiled_call(kernel, n_tiles, in_specs, out_specs, out_shape, cost=None,
+               parallel=False):
     """pl.pallas_call over a 1-D ray-tile grid with the family-invariant
-    parameters (arbitrary dimension semantics, interpret off-TPU)."""
+    parameters (interpret off-TPU).
+
+    ``parallel=True`` declares the grid steps independent — correct for
+    FORWARD kernels (each tile writes its own output block); train/backward
+    kernels accumulate dW across tiles and must stay ``arbitrary``."""
     from jax.experimental import pallas as pl
 
     return pl.pallas_call(
@@ -378,7 +383,7 @@ def tiled_call(kernel, n_tiles, in_specs, out_specs, out_shape, cost=None):
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel" if parallel else "arbitrary",),
         ),
         cost_estimate=cost,
         interpret=interpret_mode(),

@@ -84,12 +84,66 @@ def measure(n_dev, rays_per_dev, cfg, inner, outer, backend):
     return n / sorted(ts)[len(ts) // 2]
 
 
+def measure_render(n_dev, rays_per_dev, cfg, inner, outer, backend,
+                   chunk=None):
+    """Weak-scaling of the mesh-sharded RENDER step (BASELINE config 5:
+    rays sharded across the mesh, frame reassembled by all_gather —
+    parallel/render_step.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lomanerf_tpu.core import init_mlp
+    from lomanerf_tpu.parallel import data_mesh, shard_ray_chunks, \
+        sharded_render_fn
+
+    mesh = data_mesh(jax.devices()[:n_dev])
+    params = init_mlp(jax.random.PRNGKey(0), cfg.in_channels,
+                      cfg.out_channels, cfg.num_layers, cfg.filter_size,
+                      init=cfg.init)
+    n = rays_per_dev * n_dev
+    chunk = chunk or max(rays_per_dev // 2, 128)
+    rng = np.random.default_rng(0)
+    oc, dc, _ = shard_ray_chunks(
+        mesh, rng.standard_normal((n, 3)), rng.standard_normal((n, 3)),
+        chunk)
+    n_pad = oc.shape[0] * chunk
+    render = sharded_render_fn(cfg, mesh, backend=backend)
+
+    @jax.jit
+    def run_k(salt):
+        def frame(acc, i):
+            cols = render(
+                params, oc * (1.0 + salt + 1e-4 * i.astype(jnp.float32)), dc
+            )
+            return acc + jnp.mean(cols), None
+
+        acc, _ = jax.lax.scan(frame, jnp.float32(0.0),
+                              jnp.arange(inner, dtype=jnp.int32))
+        return acc
+
+    _ = float(run_k(jnp.float32(0.0)))
+    _ = float(run_k(jnp.float32(0.3)))
+    ts, seen = [], []
+    for i in range(outer):
+        t0 = time.perf_counter()
+        v = float(run_k(jnp.float32(0.05 * (i + 1))))
+        ts.append((time.perf_counter() - t0) / inner)
+        seen.append(v)
+    assert len(set(seen)) == len(seen), seen
+    return n_pad / sorted(ts)[len(ts) // 2]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays-per-dev", type=int, default=8192)
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--outer", type=int, default=4)
     ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--rung", default="train", choices=["train", "render"],
+                    help="train step weak-scaling, or the mesh-sharded "
+                         "render (BASELINE config 5) — the day N>=2 chips "
+                         "exist, one command per rung produces both "
+                         "scaling numbers")
     args = ap.parse_args()
 
     import jax
@@ -102,19 +156,21 @@ def main():
 
     from lomanerf_tpu.models import NeRFConfig
 
-    cfg = NeRFConfig.small()
+    cfg = NeRFConfig.small() if args.rung == "train" else NeRFConfig.full()
+    fn = measure if args.rung == "train" else measure_render
     n_dev = jax.device_count()
     platform = jax.devices()[0].platform
-    r1 = measure(1, args.rays_per_dev, cfg, args.inner, args.outer,
-                 args.backend)
+    r1 = fn(1, args.rays_per_dev, cfg, args.inner, args.outer, args.backend)
     if n_dev == 1:
-        print(json.dumps({"devices": 1, "rays_per_s": round(r1, 1),
+        print(json.dumps({"rung": args.rung, "devices": 1,
+                          "rays_per_s": round(r1, 1),
                           "note": "single device; scaling needs N>1"}))
         return
-    rN = measure(n_dev, args.rays_per_dev, cfg, args.inner, args.outer,
-                 args.backend)
+    rN = fn(n_dev, args.rays_per_dev, cfg, args.inner, args.outer,
+            args.backend)
     eff = (rN / r1) / n_dev
     print(json.dumps({
+        "rung": args.rung,
         "devices": n_dev,
         "rays_per_s_1dev": round(r1, 1),
         "rays_per_s_Ndev": round(rN, 1),
