@@ -472,24 +472,51 @@ def _ray_matrix_T(R, rows, S):
 
 
 def _nerf_train_kernel_T(
-    nrays_ref, ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, tgtT_ref,
-    loss_ref, dw_ref, db_ref, *, L, R, S, mode, precision, cdt,
-    num_functions, enc_impl="rec", ablate="",
+    nrays_ref, *refs, L, R, S, mode, precision, cdt,
+    num_functions, enc_impl="rec", ablate="", from_rays=False,
 ):
+    """Transposed single-pass train kernel: forward + sum-MSE + backward.
+    Outputs dW in W^T layout (L, PS, PS) and db as (PS, L) columns.
+
+    ``from_rays=True`` (uniform depths): the tile reads a PER-RAY (8, R)
+    block (origin sublanes 0-2, direction 3-5) + per-ray (8, R) targets and
+    generates the (8, rows) ray-major sample points IN-KERNEL — lane
+    r*S + s = o_r + d_r * t[s] via a lane-repeat of the ray block — which
+    deletes the O(N*S) XLA input prep (measured 5.0 ms = 20% of the
+    single64 step, artifacts/r5_single64_stages.log) and shrinks the
+    step's ray HBM traffic from O(N*S) to O(N), the same structural fix
+    the s-major kernels apply where their VMEM shape fits."""
+    if from_rays:
+        (raysT_ref, selM_ref, trow_ref, distsT_ref, E_ref, m_ref, w_ref,
+         b_ref, tgt8_ref, loss_ref, dw_ref, db_ref) = refs
+        # (1, 8, Rp) lane-padded per-tile ray block (Pallas wants 128-lane
+        # blocks; only the first R lanes are real rays), expanded to the
+        # (8, rows) ray-major sample layout by the 0/1 selector matmul
+        # selM[k, l] = (k == l // S) — Mosaic rejects the equivalent
+        # lane repeat+reshape ("unsupported shape cast"), and HIGHEST
+        # keeps the fp32 ray coordinates exact through the MXU
+        expand = functools.partial(
+            pu.mm, b=selM_ref[...], precision=jax.lax.Precision.HIGHEST)
+        rep = expand(raysT_ref[0])  # (8, rows)
+        ptsT = jnp.pad(rep[0:3] + rep[3:6] * trow_ref[...], ((0, 5), (0, 0)))
+        tgtT = expand(tgt8_ref[0])
+    else:
+        (ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, tgtT_ref,
+         loss_ref, dw_ref, db_ref) = refs
+        ptsT = ptsT_ref[...]
+        tgtT = tgtT_ref[...]
+
     def _enc():
         if enc_impl == "rec":
-            return _encode_T_rec(ptsT_ref[...], num_functions,
-                                 w_ref.shape[1])
-        return _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
-    """Transposed single-pass train kernel: forward + sum-MSE + backward.
-    Outputs dW in W^T layout (L, PS, PS) and db as (PS, L) columns."""
+            return _encode_T_rec(ptsT, num_functions, w_ref.shape[1])
+        return _encode_T(ptsT, E_ref, m_ref, precision)
     rows = R * S
     if "enc_nocat" in ablate or "enc_notrans" in ablate:
         # stage-isolation probes for the encode floor (PERF.md roofline):
         # enc_nocat   = DMA + transcendentals + recurrence, NO concatenate
         # enc_notrans = DMA + the (PS, rows) concatenate of (3, rows)
         #               blocks, NO transcendentals/recurrence
-        p = ptsT_ref[...][:3, :]
+        p = ptsT[:3, :]
         if "enc_nocat" in ablate:
             s = jnp.sin(p)
             c = jnp.cos(p)
@@ -546,7 +573,7 @@ def _nerf_train_kernel_T(
         suf = g8
     else:
         suf = pu.seg_suffix_sum_lanes(g8, S)  # value at s=0: ray's color
-    tgt = tgtT_ref[...]  # (8, rows): per-ray target replicated across s
+    tgt = tgtT  # (8, rows): per-ray target replicated across s
     sub8 = _sublane_iota(tgt.shape)
     row_idx = pl.program_id(0) * rows + jax.lax.broadcasted_iota(
         jnp.int32, tgt.shape, 1
@@ -764,7 +791,7 @@ def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
 
 @functools.lru_cache(maxsize=None)
 def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
-                     compute_dtype, ablate=""):
+                     compute_dtype, ablate="", from_rays=False):
     precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_T(in_dim, num_functions, ps)
@@ -772,8 +799,49 @@ def _make_train_fn_T(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
     kernel = functools.partial(
         _nerf_train_kernel_T, L=L, R=R, S=S, mode=mode, precision=precision,
         cdt=cdt, num_functions=num_functions, ablate=ablate,
+        from_rays=from_rays,
     )
     rows = R * S
+
+    if from_rays:
+        # uniform depths: O(N) per-ray inputs, points generated in-kernel
+        # (t_row/d_row are the same (1, rows) comb every tile — broadcast)
+        Rp = max(pu.round_up(R, 128), 128)
+        # 0/1 ray-broadcast selector: lane r*S + s takes ray r (fp32-exact
+        # through an MXU pass at HIGHEST); constant across tiles
+        selM_np = (np.arange(Rp)[:, None] ==
+                   (np.arange(rows)[None, :] // S)).astype(np.float32)
+
+        def train_call_rays(w_stack, b_stack, rays3, t_row, d_row, tgt3,
+                            n_rays):
+            n_tiles = rays3.shape[0]
+            loss, dw, db = pu.tiled_call(
+                kernel, n_tiles,
+                in_specs=[
+                    pu.bspec((1, 1), smem=True),
+                    pu.bspec((1, 8, Rp), 0),
+                    pu.bspec((Rp, rows)),
+                    pu.bspec((1, rows)),
+                    pu.bspec((1, rows)),
+                    pu.bspec((ps, in_pad)),
+                    pu.bspec((ps, 3)),
+                    pu.bspec((L, ps, ps)),
+                    pu.bspec((ps, L)),
+                    pu.bspec((1, 8, Rp), 0),
+                ],
+                out_specs=[pu.bspec((1, 1)), pu.bspec((L, ps, ps)),
+                           pu.bspec((ps, L))],
+                out_shape=[
+                    jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
+                    jax.ShapeDtypeStruct((ps, L), jnp.float32),
+                ],
+            )(n_rays, rays3, jnp.asarray(selM_np), t_row, d_row,
+              jnp.asarray(E_np), jnp.asarray(m_np), w_stack.astype(cdt),
+              b_stack, tgt3)
+            return loss[0, 0], dw, db
+
+        return pu.train_loss_vjp(train_call_rays)
 
     def train_call(w_stack, b_stack, ptsT, distsT, tgtT, n_rays):
         n_tiles = ptsT.shape[1] // rows
@@ -1053,6 +1121,45 @@ def _make_train_fn_S(L, R, S, ps, in_dim, num_functions, mode, highest_prec,
     # shared custom_vjp wiring: fused_loss(w, b, raysT, tgtT, t_row, d_row,
     # n_smem) -> loss
     return pu.train_loss_vjp(train_call)
+
+
+def _nerf_train_loss_T_rays(
+    params, origins, directions, t_1d, dists_1d, target, config,
+    tile_rays: int, highest_precision, compute_dtype: str, ps: int,
+    ablate: str = "",
+) -> jnp.ndarray:
+    """T-layout train loss from O(N) per-ray inputs (uniform (S,) depths):
+    sample points and per-row targets are generated in-kernel (ray-major
+    lane order), deleting the O(N*S) XLA prep the (N, S)-depth T path pays
+    (5.0 ms = 20% of the 65,536-ray single64 step,
+    artifacts/r5_single64_stages.log)."""
+    L = len(params["w"])
+    S = config.num_samples
+    n = origins.shape[0]
+    raysT, tgt8, n_pad = _smajor_ray_layout(origins, directions, target,
+                                            tile_rays)
+    # per-tile (8, Rp) lane-padded blocks, stacked on a tiles axis (Pallas
+    # needs 128-divisible lane blocks; this reshapes/pads O(N) ray bytes)
+    Rp = max(pu.round_up(tile_rays, 128), 128)
+    n_tiles = n_pad // tile_rays
+
+    def tiles3(x8):
+        x3 = x8.reshape(8, n_tiles, tile_rays).transpose(1, 0, 2)
+        return jnp.pad(x3, ((0, 0), (0, 0), (0, Rp - tile_rays)))
+
+    rays3, tgt3 = tiles3(raysT), tiles3(tgt8)
+    # ray-major lane l = r*S + s -> depth t[l % S]: one tiled (1, rows) comb
+    t_row = jnp.tile(jnp.asarray(t_1d, jnp.float32),
+                     tile_rays).reshape(1, tile_rays * S)
+    d_row = jnp.tile(jnp.asarray(dists_1d, jnp.float32),
+                     tile_rays).reshape(1, tile_rays * S)
+    w_stack, b_stack = pu.stack_padded_params_T(params, ps)
+    fused = _make_train_fn_T(
+        L, tile_rays, S, ps, 3, config.num_encoding_functions, config.mode,
+        highest_precision, compute_dtype, ablate, True,
+    )
+    n_smem = jnp.full((1, 1), n, jnp.int32)
+    return fused(w_stack, b_stack, rays3, t_row, d_row, tgt3, n_smem)
 
 
 def _smajor_ray_layout(origins, directions, target, tile_rays):
@@ -1647,6 +1754,16 @@ def nerf_train_loss(
             return _nerf_train_loss_S(
                 params, origins, directions, t_vals, dists, target, config,
                 R_S, highest_precision, compute_dtype, ps,
+            )
+        # s-major tile doesn't fit (e.g. single64: S=64, ps=64 — VMEM
+        # proof in artifacts/r4_single64_smajor.log) but depths are still
+        # uniform: the T kernel's from_rays variant keeps O(N) inputs +
+        # in-kernel point generation in ray-major lane order
+        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=6)
+        if R_T:
+            return _nerf_train_loss_T_rays(
+                params, origins, directions, t_vals, dists, target, config,
+                R_T, highest_precision, compute_dtype, ps,
             )
     if ps > 64 and tile_rays == 0 and uniform:
         # wide MLPs: the s-major row-major kernel (in-kernel point

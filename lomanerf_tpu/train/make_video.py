@@ -26,6 +26,10 @@ def main(argv=None) -> None:
     ap.add_argument("--ckpt-dir", default=None,
                     help="render an orbit from this checkpoint instead")
     ap.add_argument("--orbit", type=int, default=60, help="orbit frame count")
+    ap.add_argument("--preset", default=None,
+                    choices=["small", "single64", "full"],
+                    help="NeRFConfig ladder preset (must match the "
+                         "checkpoint's training config)")
     ap.add_argument("--img-size", type=int, default=64)
     ap.add_argument("--samples", type=int, default=30)
     ap.add_argument("--layers", type=int, default=3)
@@ -62,11 +66,16 @@ def main(argv=None) -> None:
         from lomanerf_tpu.models import NeRFConfig, NeRFModel
         from lomanerf_tpu.train import checkpoint
 
-        cfg = NeRFConfig(
-            num_layers=args.layers, filter_size=args.width,
-            num_encoding_functions=args.enc_functions,
-            num_samples=args.samples,
-        )
+        if args.preset:
+            cfg = {"small": NeRFConfig.small,
+                   "single64": NeRFConfig.single_view_64,
+                   "full": NeRFConfig.full}[args.preset]()
+        else:
+            cfg = NeRFConfig(
+                num_layers=args.layers, filter_size=args.width,
+                num_encoding_functions=args.enc_functions,
+                num_samples=args.samples,
+            )
         model = NeRFModel(cfg)
         params = model.init(jax.random.PRNGKey(0))
         opt_state = optax.adam(1e-3).init(params)

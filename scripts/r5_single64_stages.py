@@ -61,7 +61,9 @@ def main():
             v = float(jnp.asarray(p).ravel()[0])
             ts.append((time.perf_counter() - t0) / K)
             seen.append(v)
-        assert len(set(seen)) == len(seen), (label, seen)
+        # defeat relay memoization: a cached run would repeat ONE value;
+        # tiny-lr fp32 loss drift may still collide a pair by luck
+        assert len(set(seen)) > len(seen) // 2, (label, seen)
         med = sorted(ts)[len(ts) // 2]
         print(f"{label}: {med*1e3:8.2f} ms  ({N/med/1e6:5.2f} Mrays/s)",
               flush=True)
@@ -72,7 +74,10 @@ def main():
         di2 = jnp.broadcast_to(dists1, (N, S))
         ptsT, distsT, _, pad = fused_nerf._transposed_ray_layout(
             o * (1.0 + salt) + c, d, t2, di2, S, R)
-        probe = jnp.mean(ptsT) + jnp.mean(distsT) + jnp.mean(pad(target))
+        # keep dists/target live but scaled down: the 1e8 dists
+        # sentinel otherwise swamps fp32 resolution of the salt term
+        probe = jnp.mean(jnp.abs(ptsT)) + 1e-9 * (
+            jnp.mean(distsT) + jnp.mean(pad(target)))
         return c + probe * 1e-12, probe
     timeit(prep_step, "prep only (pts^T/dists^T/tgt pad)", jnp.float32(0.0))
 

@@ -410,3 +410,34 @@ def test_fused_nerf_bf16_compute_close(rng):
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gw)):
         denom = np.abs(np.asarray(b)).max() + 1e-3
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / denom < 0.1
+
+
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_fused_train_loss_T_from_rays(rng, mode):
+    """The T kernel's from_rays variant (uniform depths, in-kernel
+    ray-major point/target generation from O(N) per-ray blocks — the
+    single64 fast path, artifacts/r5_single64_stages.log) must match the
+    jnp pipeline's loss AND gradients."""
+    cfg = NeRFConfig(num_layers=4, filter_size=24, num_samples=8, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(11), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    loss_p, grads_p = jax.value_and_grad(
+        lambda p: fused_nerf._nerf_train_loss_T_rays(
+            p, o, d, t, dists, target, cfg, 16, True, "float32", 40)
+    )(params)
+    t2 = jnp.broadcast_to(t, (n, cfg.num_samples))
+    di2 = jnp.broadcast_to(dists, (n, cfg.num_samples))
+    loss_j, grads_j = jax.value_and_grad(
+        lambda p: nerf_loss_rays(p, o, d, t2, di2, target,
+                                 cfg.num_encoding_functions, cfg.mode)
+    )(params)
+    np.testing.assert_allclose(float(loss_p), float(loss_j), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(grads_p), jax.tree.leaves(grads_j)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
