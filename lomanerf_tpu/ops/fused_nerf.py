@@ -490,16 +490,11 @@ def _nerf_train_kernel_T(
         (raysT_ref, selM_ref, trow_ref, distsT_ref, E_ref, m_ref, w_ref,
          b_ref, tgt8_ref, loss_ref, dw_ref, db_ref) = refs
         # (1, 8, Rp) lane-padded per-tile ray block (Pallas wants 128-lane
-        # blocks; only the first R lanes are real rays), expanded to the
-        # (8, rows) ray-major sample layout by the 0/1 selector matmul
-        # selM[k, l] = (k == l // S) — Mosaic rejects the equivalent
-        # lane repeat+reshape ("unsupported shape cast"), and HIGHEST
-        # keeps the fp32 ray coordinates exact through the MXU
-        expand = functools.partial(
-            pu.mm, b=selM_ref[...], precision=jax.lax.Precision.HIGHEST)
-        rep = expand(raysT_ref[0])  # (8, rows)
-        ptsT = jnp.pad(rep[0:3] + rep[3:6] * trow_ref[...], ((0, 5), (0, 0)))
-        tgtT = expand(tgt8_ref[0])
+        # blocks; only the first R lanes are real rays) + targets, expanded
+        # together to the (8, rows) ray-major layout by ONE 0/1 selector
+        # matmul selM[k, l] = (k == l // S) — see _expand_rays_T
+        stacked = jnp.concatenate([raysT_ref[0], tgt8_ref[0]], axis=0)
+        ptsT, tgtT = _expand_rays_T(stacked, selM_ref, trow_ref, precision)
     else:
         (ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, tgtT_ref,
          loss_ref, dw_ref, db_ref) = refs
@@ -685,35 +680,91 @@ def _bwd_from_dcol_T(
             d_z = d_h * (h_prev.astype(jnp.float32) > 0).astype(jnp.float32)
 
 
+def _expand_precision(precision):
+    """Precision tier for the selector-matmul ray expansion: keep the
+    kernel's own tier, but never looser than bf16x3 — a single bf16 pass
+    would round the fp32 ray COORDINATES to ~4e-3 relative, which the
+    encoding amplifies by 2^octaves into large phases.  HIGHEST is exact;
+    bf16x3 leaves ~1.5e-5 relative (inside the "high" gate tolerances)
+    at half the MXU passes."""
+    if precision == jax.lax.Precision.HIGHEST:
+        return precision
+    return BF16X3
+
+
+def _expand_rays_T(stack_block, selM_ref, trow_ref, precision):
+    """(8k, Rp) stacked per-ray blocks -> (8k, rows) ray-major via ONE 0/1
+    selector matmul (Mosaic rejects the equivalent lane repeat+reshape;
+    stacking rays/targets/cotangents on sublanes amortizes the matmul's
+    8/128 output-sublane occupancy), then ptsT from sublanes 0-5 and the
+    (1, rows) depth comb.  Returns (ptsT(8, rows), rest(8(k-1), rows))."""
+    rep = pu.mm(stack_block, selM_ref[...], _expand_precision(precision))
+    ptsT = jnp.pad(rep[0:3] + rep[3:6] * trow_ref[...], ((0, 5), (0, 0)))
+    return ptsT, rep[8:]
+
+
 def _nerf_forward_kernel_T(
-    ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, out_ref,
-    *, L, S, mode, precision, cdt, num_functions, enc_impl="rec",
+    *refs, L, S, mode, precision, cdt, num_functions, enc_impl="rec",
+    from_rays=False,
 ):
-    """Transposed render forward: writes the (8, rows) segmented suffix sum
-    of weighted colors — the lane at each ray's s == 0 holds its color
-    (sublanes 0..2); the wrapper gathers those lanes in XLA."""
-    if enc_impl == "rec":
-        enc = _encode_T_rec(ptsT_ref[...], num_functions, w_ref.shape[1])
+    """Transposed render forward.  Default layout: writes the (8, rows)
+    segmented suffix sum of weighted colors — the lane at each ray's
+    s == 0 holds its color (sublanes 0..2); the wrapper gathers those
+    lanes in XLA.  ``from_rays``: per-ray (1, 8, Rp) input blocks, points
+    generated in-kernel, and the PER-RAY (1, 8, Rp) colors written
+    directly (selector-matmul gather of the s == 0 lanes) — O(N) ray
+    bytes in and out instead of O(N*S)."""
+    if from_rays:
+        (raysT_ref, selM_ref, trow_ref, distsT_ref, E_ref, m_ref, w_ref,
+         b_ref, out_ref) = refs
+        ptsT, _ = _expand_rays_T(raysT_ref[0], selM_ref, trow_ref,
+                                 precision)
     else:
-        enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+        (ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, out_ref) = refs
+        ptsT = ptsT_ref[...]
+    if enc_impl == "rec":
+        enc = _encode_T_rec(ptsT, num_functions, w_ref.shape[1])
+    else:
+        enc = _encode_T(ptsT, E_ref, m_ref, precision)
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
     w = _composite_fwd_T(rgba, distsT_ref[...], S, mode)[-1]
-    out_ref[...] = pu.seg_suffix_sum_lanes((rgba * w)[:8, :], S)
+    suf = pu.seg_suffix_sum_lanes((rgba * w)[:8, :], S)
+    if from_rays:
+        rows = suf.shape[1]
+        s_idx = pu._sample_index_lanes(rows, S)
+        suf0 = jnp.where(s_idx == 0, suf, 0.0)
+        # (8, rows) @ selM^T -> (8, Rp): exactly one nonzero lane per
+        # segment survives the mask, so the 0/1 contraction is a gather
+        out_ref[0] = pu.mm_t(suf0, selM_ref[...],
+                             _expand_precision(precision))
+    else:
+        out_ref[...] = suf
 
 
 def _nerf_backward_kernel_T(
-    ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, dcolT_ref,
-    dw_ref, db_ref, *, L, S, mode, precision, cdt, num_functions,
-    enc_impl="rec",
+    *refs, L, S, mode, precision, cdt, num_functions, enc_impl="rec",
+    from_rays=False,
 ):
     """Transposed remat backward for the render path: recompute the tile's
     forward in VMEM, then run the shared transposed adjoint walk.  dcolT is
-    (8, rows): each ray's color cotangent replicated across its samples."""
-    if enc_impl == "rec":
-        enc = _encode_T_rec(ptsT_ref[...], num_functions, w_ref.shape[1])
+    (8, rows) — each ray's color cotangent replicated across its samples —
+    or, under ``from_rays``, a per-ray (1, 8, Rp) block expanded in-kernel
+    by the same selector matmul."""
+    if from_rays:
+        (raysT_ref, selM_ref, trow_ref, distsT_ref, E_ref, m_ref, w_ref,
+         b_ref, dcol3_ref, dw_ref, db_ref) = refs
+        stacked = jnp.concatenate([raysT_ref[0], dcol3_ref[0]], axis=0)
+        ptsT, dcolT = _expand_rays_T(stacked, selM_ref, trow_ref, precision)
     else:
-        enc = _encode_T(ptsT_ref[...], E_ref, m_ref, precision)
+        (ptsT_ref, distsT_ref, E_ref, m_ref, w_ref, b_ref, dcolT_ref,
+         dw_ref, db_ref) = refs
+        ptsT = ptsT_ref[...]
+        dcolT = dcolT_ref[...]
+    if enc_impl == "rec":
+        enc = _encode_T_rec(ptsT, num_functions, w_ref.shape[1])
+    else:
+        enc = _encode_T(ptsT, E_ref, m_ref, precision)
     acts = _mlp_forward_T(enc, w_ref, b_ref, L, precision, cdt)
     rgba = acts[-1].astype(jnp.float32)
     distsT = distsT_ref[...]
@@ -724,27 +775,82 @@ def _nerf_backward_kernel_T(
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
         db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
-    _bwd_from_dcol_T(dcolT_ref[...], acts, rgba, distsT, comp, w_ref,
+    _bwd_from_dcol_T(dcolT, acts, rgba, distsT, comp, w_ref,
                      dw_ref, db_ref, L=L, S=S, mode=mode,
                      precision=precision, cdt=cdt)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_render_fns_T(L, R, S, ps, in_dim, num_functions, mode,
-                       highest_prec, compute_dtype="float32"):
+                       highest_prec, compute_dtype="float32",
+                       from_rays=False):
     precision = pu.resolve_precision(highest_prec)
     cdt = jnp.dtype(compute_dtype)
     E_np, m_np = pu.build_encoding_consts_T(in_dim, num_functions, ps)
     in_pad = E_np.shape[1]
     fwd_kernel = functools.partial(
         _nerf_forward_kernel_T, L=L, S=S, mode=mode, precision=precision,
-        cdt=cdt, num_functions=num_functions,
+        cdt=cdt, num_functions=num_functions, from_rays=from_rays,
     )
     bwd_kernel = functools.partial(
         _nerf_backward_kernel_T, L=L, S=S, mode=mode, precision=precision,
-        cdt=cdt, num_functions=num_functions,
+        cdt=cdt, num_functions=num_functions, from_rays=from_rays,
     )
     rows = R * S
+
+    if from_rays:
+        # uniform depths: O(N) per-ray inputs AND O(N) per-ray outputs —
+        # points generated and s==0 colors gathered in-kernel (selector
+        # matmuls); the O(N*S) ptsT prep and every-S-th-lane XLA gather
+        # both disappear (the narrow analog of the s-major render layout
+        # where that kernel's VMEM shape doesn't fit, e.g. single64)
+        Rp = max(pu.round_up(R, 128), 128)
+        selM_np = (np.arange(Rp)[:, None] ==
+                   (np.arange(rows)[None, :] // S)).astype(np.float32)
+
+        def common_rays():
+            return [
+                pu.bspec((1, 8, Rp), 0),
+                pu.bspec((Rp, rows)),
+                pu.bspec((1, rows)),
+                pu.bspec((1, rows)),
+                pu.bspec((ps, in_pad)),
+                pu.bspec((ps, 3)),
+                pu.bspec((L, ps, ps)),
+                pu.bspec((ps, L)),
+            ]
+
+        def forward(w_stack, b_stack, rays3, t_row, d_row):
+            n_tiles = rays3.shape[0]
+            return pu.tiled_call(
+                fwd_kernel, n_tiles,
+                in_specs=common_rays(),
+                out_specs=pu.bspec((1, 8, Rp), 0),
+                out_shape=jax.ShapeDtypeStruct((n_tiles, 8, Rp),
+                                               jnp.float32),
+            )(rays3, jnp.asarray(selM_np), t_row, d_row,
+              jnp.asarray(E_np), jnp.asarray(m_np), w_stack.astype(cdt),
+              b_stack)
+
+        def backward(w_stack, b_stack, rays3, t_row, d_row, dcol3):
+            return pu.tiled_call(
+                bwd_kernel, rays3.shape[0],
+                in_specs=common_rays() + [pu.bspec((1, 8, Rp), 0)],
+                out_specs=[pu.bspec((L, ps, ps)), pu.bspec((ps, L))],
+                out_shape=[
+                    jax.ShapeDtypeStruct((L, ps, ps), jnp.float32),
+                    jax.ShapeDtypeStruct((ps, L), jnp.float32),
+                ],
+            )(rays3, jnp.asarray(selM_np), t_row, d_row,
+              jnp.asarray(E_np), jnp.asarray(m_np), w_stack.astype(cdt),
+              b_stack, dcol3)
+
+        def dcol(d_out):
+            # (n_tiles, 8, Rp) per-ray cotangents: sublanes 0..2 real
+            sub = jax.lax.broadcasted_iota(jnp.int32, d_out.shape, 1)
+            return jnp.where(sub < 3, d_out, 0.0)
+
+        return pu.render_vjp(forward, backward, dcol)
 
     def common_in_specs():
         return [
@@ -1138,16 +1244,7 @@ def _nerf_train_loss_T_rays(
     n = origins.shape[0]
     raysT, tgt8, n_pad = _smajor_ray_layout(origins, directions, target,
                                             tile_rays)
-    # per-tile (8, Rp) lane-padded blocks, stacked on a tiles axis (Pallas
-    # needs 128-divisible lane blocks; this reshapes/pads O(N) ray bytes)
-    Rp = max(pu.round_up(tile_rays, 128), 128)
-    n_tiles = n_pad // tile_rays
-
-    def tiles3(x8):
-        x3 = x8.reshape(8, n_tiles, tile_rays).transpose(1, 0, 2)
-        return jnp.pad(x3, ((0, 0), (0, 0), (0, Rp - tile_rays)))
-
-    rays3, tgt3 = tiles3(raysT), tiles3(tgt8)
+    rays3, tgt3 = _ray_tiles(raysT, tile_rays), _ray_tiles(tgt8, tile_rays)
     # ray-major lane l = r*S + s -> depth t[l % S]: one tiled (1, rows) comb
     t_row = jnp.tile(jnp.asarray(t_1d, jnp.float32),
                      tile_rays).reshape(1, tile_rays * S)
@@ -1160,6 +1257,15 @@ def _nerf_train_loss_T_rays(
     )
     n_smem = jnp.full((1, 1), n, jnp.int32)
     return fused(w_stack, b_stack, rays3, t_row, d_row, tgt3, n_smem)
+
+
+def _ray_tiles(x8, R: int):
+    """(8, n_pad) per-ray array -> (n_tiles, 8, Rp) per-tile blocks with
+    lanes padded to 128 (Pallas block rule); O(N) bytes reshaped."""
+    Rp = max(pu.round_up(R, 128), 128)
+    n_tiles = x8.shape[1] // R
+    x3 = x8.reshape(8, n_tiles, R).transpose(1, 0, 2)
+    return jnp.pad(x3, ((0, 0), (0, 0), (0, Rp - R)))
 
 
 def _smajor_ray_layout(origins, directions, target, tile_rays):
@@ -1853,6 +1959,26 @@ def render_rays(
             )
             out8 = render(w_stack, b_stack, raysT, t_row, d_row)
             return out8[:3, :n].T
+        # s-major tile misses VMEM (e.g. single64): the T render's
+        # from_rays variant keeps O(N) inputs/outputs with in-kernel
+        # point generation and s==0 color gather
+        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=5)
+        if R_T:
+            n = origins.shape[0]
+            raysT, _, n_pad = _smajor_ray_layout(origins, directions, None,
+                                                 R_T)
+            rays3 = _ray_tiles(raysT, R_T)
+            t_row = jnp.tile(jnp.asarray(t_vals, jnp.float32),
+                             R_T).reshape(1, R_T * S)
+            d_row = jnp.tile(jnp.asarray(dists, jnp.float32),
+                             R_T).reshape(1, R_T * S)
+            w_stack, b_stack = pu.stack_padded_params_T(params, ps)
+            render = _make_render_fns_T(
+                L, R_T, S, ps, 3, config.num_encoding_functions,
+                config.mode, highest_precision, compute_dtype, True,
+            )
+            out3 = render(w_stack, b_stack, rays3, t_row, d_row)
+            return out3[:, :3, :R_T].transpose(0, 2, 1).reshape(-1, 3)[:n]
     if ps > 64 and tile_rays == 0 and not kw_ablate and uniform:
         # wide MLPs: s-major row-major render (in-kernel point generation)
         pw = pu.round_up(max(widths + [128]), 128)

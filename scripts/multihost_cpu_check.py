@@ -82,6 +82,18 @@ def worker(proc_id: int, nproc: int, coord: str) -> None:
     loss = float(loss)
     assert np.isfinite(loss)
 
+    # mesh-sharded RENDER across the 2-process mesh (BASELINE config 5:
+    # "800x800 renders, rays sharded across N>=2 hosts"): ray chunks
+    # sharded over all global devices, frame reassembled by all_gather —
+    # every process then holds the replicated pixels
+    # (parallel/render_step.py)
+    from lomanerf_tpu.parallel import make_render_step, shard_ray_chunks
+
+    render = make_render_step(cfg, mesh, backend="jnp")
+    oc, dc, n_r = shard_ray_chunks(mesh, o_g, d_g, chunk=4)
+    cols = render(params, oc, dc)
+    cols_np = np.asarray(jax.device_get(cols))[:n_r]
+
     if is_primary():
         # single-host oracle over the FULL global batch
         sstep = make_single_chip_train_step(cfg, opt, backend="jnp",
@@ -98,6 +110,13 @@ def worker(proc_id: int, nproc: int, coord: str) -> None:
             np.testing.assert_allclose(
                 np.asarray(jax.device_get(a)), np.asarray(b),
                 rtol=1e-5, atol=1e-6)
+        # single-host render oracle over the full ray set
+        from lomanerf_tpu.models.nerf import render_chunk
+
+        ref_cols = render_chunk(cfg, "jnp", params, jnp.asarray(o_g),
+                                jnp.asarray(d_g))
+        np.testing.assert_allclose(cols_np, np.asarray(ref_cols),
+                                   rtol=1e-5, atol=1e-6)
         out = {
             "processes": nproc,
             "devices_global": jax.device_count(),
@@ -106,6 +125,7 @@ def worker(proc_id: int, nproc: int, coord: str) -> None:
             "loss_multihost": loss,
             "loss_singlehost": float(ref_loss),
             "params_allclose": True,
+            "render_allclose": True,
         }
         path = os.path.join(REPO, "artifacts", "multihost_cpu_check.json")
         with open(path, "w") as f:

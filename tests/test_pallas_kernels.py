@@ -441,3 +441,51 @@ def test_fused_train_loss_T_from_rays(rng, mode):
     for a, b in zip(jax.tree.leaves(grads_p), jax.tree.leaves(grads_j)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("mode", ["loma", "standard"])
+def test_fused_render_T_from_rays(rng, mode):
+    """The T render's from_rays variant (O(N) per-ray in/out, in-kernel
+    pointgen + s==0 color gather) matches the jnp pipeline's colors and
+    its param gradients match jax.grad."""
+    cfg = NeRFConfig(num_layers=4, filter_size=24, num_samples=8, mode=mode)
+    params = init_mlp(jax.random.PRNGKey(13), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 20
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+
+    from lomanerf_tpu.ops.fused_nerf import (
+        _make_render_fns_T, _ray_tiles, _smajor_ray_layout,
+    )
+    from lomanerf_tpu.ops import pallas_utils as pu
+
+    R = 16
+    raysT, _, n_pad = _smajor_ray_layout(o, d, None, R)
+    rays3 = _ray_tiles(raysT, R)
+    S = cfg.num_samples
+    t_row = jnp.tile(t, R).reshape(1, R * S)
+    d_row = jnp.tile(dists, R).reshape(1, R * S)
+    render = _make_render_fns_T(4, R, S, 40, 3, cfg.num_encoding_functions,
+                                mode, True, "float32", True)
+
+    def colors_of(p):
+        w_stack, b_stack = pu.stack_padded_params_T(p, 40)
+        out3 = render(w_stack, b_stack, rays3, t_row, d_row)
+        return out3[:, :3, :R].transpose(0, 2, 1).reshape(-1, 3)[:n]
+
+    got = colors_of(params)
+    want = nerf_render_rays(params, o, d, t, dists,
+                            cfg.num_encoding_functions, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    tgt = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    g = jax.grad(lambda p: jnp.sum((colors_of(p) - tgt) ** 2))(params)
+    gw = jax.grad(lambda p: jnp.sum((nerf_render_rays(
+        p, o, d, t, dists, cfg.num_encoding_functions, mode) - tgt) ** 2))(
+        params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
