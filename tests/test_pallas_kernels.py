@@ -489,3 +489,42 @@ def test_fused_render_T_from_rays(rng, mode):
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gw)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_single64_dispatches_to_from_rays(rng, monkeypatch):
+    """Guard the single64 routing: when the s-major tile misses VMEM and
+    depths are uniform, nerf_train_loss must take the from_rays T path
+    (in-kernel pointgen), not silently fall back to the O(N*S) prep."""
+    from lomanerf_tpu.ops.fused_nerf import _pick_tile_S, _pick_tile_T
+
+    # the real single64 shape: s-major excluded, T tile available
+    assert _pick_tile_S(64, 64, 4, 4, n_bufs=6) == 0
+    assert _pick_tile_T(64, 64, 4, 4, n_bufs=6) > 0
+
+    # tiny config, s-major pick forced to 0: dispatch must hit the rays
+    # wrapper and agree with the jnp pipeline
+    cfg = NeRFConfig(num_layers=2, filter_size=16, num_samples=8)
+    params = init_mlp(jax.random.PRNGKey(2), cfg.in_channels, 4,
+                      cfg.num_layers, cfg.filter_size)
+    n = 12
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    _, t, dists = sample_along_rays(o, d, cfg.near, cfg.far, cfg.num_samples)
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    monkeypatch.setattr(fused_nerf, "_pick_tile_S", lambda *a, **k: 0)
+    calls = []
+    orig = fused_nerf._nerf_train_loss_T_rays
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fused_nerf, "_nerf_train_loss_T_rays", spy)
+    loss = fused_nerf.nerf_train_loss(params, o, d, t, dists, target, cfg)
+    assert calls, "uniform-depth fallback did not take the from_rays path"
+    want = nerf_loss_rays(
+        params, o, d, jnp.broadcast_to(t, (n, 8)),
+        jnp.broadcast_to(dists, (n, 8)), target,
+        cfg.num_encoding_functions, cfg.mode)
+    np.testing.assert_allclose(float(loss), float(want), rtol=2e-5)
