@@ -268,10 +268,13 @@ def bench_render(args) -> None:
         seen.append(v)
     assert len(set(seen)) == len(seen), seen
     rays_per_s = n_pad / sorted(times)[len(times) // 2]
+    # metric key kept STABLE across rounds (driver-contract continuity);
+    # the mesh size rides in a side field
     emit(
-        f"nerf_render_rays_per_s_chip[pallas][800x800,full,mesh={n_dev}]",
+        "nerf_render_rays_per_s_chip[pallas][800x800,full]",
         rays_per_s, "rays/s", LOMA_CPU_RENDER_RAYS_PER_S,
         measure_render_baseline_live() if args.live_baseline else None,
+        mesh_devices=n_dev,
     )
 
 
@@ -317,8 +320,7 @@ def main() -> None:
     from lomanerf_tpu.models import NeRFConfig
     from lomanerf_tpu.train.steps import make_single_chip_train_step
 
-    cfg = {"small": NeRFConfig.small, "single64": NeRFConfig.single_view_64,
-           "full": NeRFConfig.full}[args.config]()
+    cfg = NeRFConfig.preset(args.config)
     backend = args.backend
     if backend == "auto":
         # v5e: fused pallas train kernels beat the XLA-fused jnp step across

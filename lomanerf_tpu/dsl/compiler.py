@@ -318,6 +318,10 @@ def compile(
             f = funcs[f.primal_func]
         return f
 
+    # lower the whole module EAGERLY so lowering-stage errors surface at
+    # compile() (the reference compiler's behavior), not at first call
+    entries_for(0)
+
     lib = JaxLib()
     for name, f in funcs.items():
         bounds = loopcheck.analyze(primal_def(f))

@@ -99,34 +99,35 @@ def _parse_cond(cond: ir.Expr):
 
 def _step_of(var: str, body: List[ir.Stmt]) -> Optional[int]:
     """Constant positive increment if ``var = var + c`` is the ONLY write to
-    ``var`` in the loop body (nested scopes included)."""
+    ``var`` in the loop body AND sits at the body's top level — an
+    increment nested under an if/else or inner loop is CONDITIONAL, so the
+    trip count would be underestimated and the auto-extension would
+    falsely promise coverage."""
     writes = _written_vars(list(body), set())
+    if var not in writes:
+        return None
     incr: Optional[int] = None
     count = 0
-
-    def scan(stmts):
-        nonlocal incr, count
-        for s in stmts:
-            if isinstance(s, ir.Assign) and isinstance(s.target, ir.Var) \
-                    and s.target.id == var:
-                count += 1
-                v = s.val
-                if isinstance(v, ir.BinaryOp) and v.op == "+":
-                    l, r = v.left, v.right
-                    if isinstance(l, ir.Var) and l.id == var \
-                            and isinstance(r, ir.ConstInt):
-                        incr = r.val
-                    elif isinstance(r, ir.Var) and r.id == var \
-                            and isinstance(l, ir.ConstInt):
-                        incr = l.val
-            elif isinstance(s, ir.IfElse):
-                scan(s.then_stmts)
-                scan(s.else_stmts)
-            elif isinstance(s, ir.While):
-                scan(s.body)
-
-    scan(list(body))
-    if var not in writes or count != 1 or incr is None or incr < 1:
+    for s in body:
+        if isinstance(s, ir.Assign) and isinstance(s.target, ir.Var) \
+                and s.target.id == var:
+            count += 1
+            v = s.val
+            if isinstance(v, ir.BinaryOp) and v.op == "+":
+                l, r = v.left, v.right
+                if isinstance(l, ir.Var) and l.id == var \
+                        and isinstance(r, ir.ConstInt):
+                    incr = r.val
+                elif isinstance(r, ir.Var) and r.id == var \
+                        and isinstance(l, ir.ConstInt):
+                    incr = l.val
+        elif isinstance(s, (ir.IfElse, ir.While)):
+            nested = _written_vars(
+                s.body if isinstance(s, ir.While)
+                else s.then_stmts + s.else_stmts, set())
+            if var in nested:
+                return None  # conditional/nested write: not analyzable
+    if count != 1 or incr is None or incr < 1:
         return None
     return incr
 

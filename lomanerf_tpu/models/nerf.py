@@ -56,6 +56,16 @@ class NeRFConfig:
 
     # ---- the BASELINE.json config ladder ----
     @staticmethod
+    def preset(name: str) -> "NeRFConfig":
+        """Ladder preset by name — the ONE registry the drivers
+        (train_nerf --preset, make_video --preset) and bench share."""
+        return {
+            "small": NeRFConfig.small,
+            "single64": NeRFConfig.single_view_64,
+            "full": NeRFConfig.full,
+        }[name]()
+
+    @staticmethod
     def small() -> "NeRFConfig":
         # production precision for the parity-shape config: "high" (bf16x3
         # 3-pass matmuls — Mosaic lacks Precision.HIGH, ops.fused_nerf

@@ -1864,8 +1864,13 @@ def nerf_train_loss(
         # s-major tile doesn't fit (e.g. single64: S=64, ps=64 — VMEM
         # proof in artifacts/r4_single64_smajor.log) but depths are still
         # uniform: the T kernel's from_rays variant keeps O(N) inputs +
-        # in-kernel point generation in ray-major lane order
-        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=6)
+        # in-kernel point generation in ray-major lane order.  The VMEM
+        # model charges the resident (128, R*S) fp32 selector matrix as
+        # extra ps-width buffers; the budget is raised to 7.5 MB, anchored
+        # to the measured R=32 single64 compile+run (PERF.md round 5).
+        sel_bufs = -(-128 * 4 // (ps * itemsize))
+        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=6 + sel_bufs,
+                           vmem_budget=int(7.5 * 1024 * 1024))
         if R_T:
             return _nerf_train_loss_T_rays(
                 params, origins, directions, t_vals, dists, target, config,
@@ -1961,8 +1966,11 @@ def render_rays(
             return out8[:3, :n].T
         # s-major tile misses VMEM (e.g. single64): the T render's
         # from_rays variant keeps O(N) inputs/outputs with in-kernel
-        # point generation and s==0 color gather
-        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=5)
+        # point generation and s==0 color gather (selector matrix charged
+        # as extra buffers — see the train dispatch)
+        sel_bufs = -(-128 * 4 // (ps * itemsize))
+        R_T = _pick_tile_T(S, ps, L, itemsize, n_bufs=5 + sel_bufs,
+                           vmem_budget=int(7.5 * 1024 * 1024))
         if R_T:
             n = origins.shape[0]
             raysT, _, n_pad = _smajor_ray_layout(origins, directions, None,

@@ -15,6 +15,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: the top-level API (jax >= 0.6) takes
+    ``check_vma``; the experimental fallback takes ``check_rep``.  Both
+    checks are disabled (the fused per-shard kernels are opaque to the
+    replication checker)."""
+    try:
+        from jax import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except ImportError:  # pragma: no cover - old jax
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,

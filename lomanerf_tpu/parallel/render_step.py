@@ -26,10 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.6 exposes shard_map at top level
-    from jax import shard_map as _shard_map_fn
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_fn
+from lomanerf_tpu.parallel.mesh import shard_map_compat
 
 
 def sharded_render_fn(config, mesh: Mesh, backend: str = "jnp",
@@ -54,12 +51,10 @@ def sharded_render_fn(config, mesh: Mesh, backend: str = "jnp",
         # reassemble the frame: device i rendered chunks [i*k, (i+1)*k)
         return jax.lax.all_gather(cols, axis, tiled=True)
 
-    return _shard_map_fn(
-        local_render,
-        mesh=mesh,
+    return shard_map_compat(
+        local_render, mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(),
-        check_vma=False,
     )
 
 

@@ -19,10 +19,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.6 exposes shard_map at top level
-    from jax import shard_map as _shard_map_fn
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_fn
+from lomanerf_tpu.parallel.mesh import shard_map_compat
 
 from lomanerf_tpu.core import composite, encoding, losses
 from lomanerf_tpu.core.mlp import Params, mlp_apply
@@ -204,12 +201,10 @@ def make_train_step(
             d_spec = P() if uniform else P("data")
             batch_spec = RayBatch(P("data"), P("data"), d_spec, d_spec,
                                   P("data"))
-            sharded = _shard_map_fn(
-                local_step,
-                mesh=mesh,
+            sharded = shard_map_compat(
+                local_step, mesh,
                 in_specs=(p_spec, o_spec, batch_spec),
                 out_specs=(p_spec, o_spec, P()),
-                check_vma=False,
             )
             _variants[uniform] = jax.jit(
                 sharded, donate_argnums=(0, 1) if donate else ()

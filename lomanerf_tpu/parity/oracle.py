@@ -118,11 +118,12 @@ def get_lib(kernel: str):
     deps_mtime = os.path.getmtime(src_path)
     compiler_dir = os.path.join(REFERENCE_ROOT, "loma_public")
     if os.path.isdir(compiler_dir):
-        deps_mtime = max(
-            [deps_mtime]
-            + [os.path.getmtime(os.path.join(compiler_dir, f))
-               for f in os.listdir(compiler_dir) if f.endswith(".py")]
-        )
+        for root, _dirs, files in os.walk(compiler_dir):
+            for f in files:
+                if f.endswith((".py", ".cpp", ".h", ".asdl")):
+                    deps_mtime = max(
+                        deps_mtime,
+                        os.path.getmtime(os.path.join(root, f)))
     if (
         os.path.exists(so_path)
         and os.path.getmtime(so_path) >= deps_mtime

@@ -67,9 +67,7 @@ def main(argv=None) -> None:
         from lomanerf_tpu.train import checkpoint
 
         if args.preset:
-            cfg = {"small": NeRFConfig.small,
-                   "single64": NeRFConfig.single_view_64,
-                   "full": NeRFConfig.full}[args.preset]()
+            cfg = NeRFConfig.preset(args.preset)
         else:
             cfg = NeRFConfig(
                 num_layers=args.layers, filter_size=args.width,

@@ -90,12 +90,8 @@ def main(argv=None) -> None:
     initialize_multihost(args.coordinator)
 
     if args.preset:
-        cfg = {
-            "small": NeRFConfig.small,
-            "single64": NeRFConfig.single_view_64,
-            "full": NeRFConfig.full,
-        }[args.preset]()
-        cfg = dataclasses.replace(cfg, near=args.near, far=args.far)
+        cfg = dataclasses.replace(NeRFConfig.preset(args.preset),
+                                  near=args.near, far=args.far)
     else:
         cfg = NeRFConfig(
             num_layers=args.layers,
