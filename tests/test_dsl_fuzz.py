@@ -134,3 +134,63 @@ def test_fuzz_rev_grad_matches_finite_differences(seed):
             np.testing.assert_allclose(
                 got, fd, rtol=5e-3, atol=5e-3,
                 err_msg=f"seed {seed} dx{i}\n{source}")
+
+
+def _gen_simd_program(seed):
+    """Random @simd kernel over shared arrays: thread-indexed slot writes,
+    atomic_add reductions, and read-only inputs — the planner's domain."""
+    rng = random.Random(10_000 + seed)
+    lines = [
+        "@simd",
+        "def k(a : In[Array[float]], b : In[Array[float]], "
+        "out : Out[Array[float]], total : Out[Array[float]]):",
+        "    i : int = thread_id()",
+        f"    v : float = a[i] * {rng.uniform(0.5, 2.0):.3f} "
+        f"{rng.choice(['+', '-'])} b[i]",
+    ]
+    if rng.random() < 0.5:
+        lines.append("    v = v + a[i] * b[i]")
+    lines.append("    out[i] = v")
+    if rng.random() < 0.7:
+        lines.append("    atomic_add(total[0], v)")
+    if rng.random() < 0.4:
+        lines.append(f"    atomic_add(total[1], b[i] * {rng.uniform(0.1, 1.0):.3f})")
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_simd_vmap_equals_scan(seed):
+    """Planner soundness, generatively: for kernels the static analysis
+    accepts for jax.vmap, the parallel lowering must produce bitwise-close
+    results to the sequential scan fallback (the semantics)."""
+    from lomanerf_tpu.dsl import parser as dslparser
+    from lomanerf_tpu.dsl.lower import Lowerer
+
+    source = _gen_simd_program(seed)
+    _, funcs = dslparser.parse(source)
+    low = Lowerer({}, funcs)
+    f = funcs["k"]
+    n = 64
+    rng = np.random.default_rng(seed)
+
+    def fresh_args():
+        import jax.numpy as jnp
+
+        return [
+            jnp.asarray(rng.random(n).astype(np.float32)),
+            jnp.asarray(rng.random(n).astype(np.float32)),
+            jnp.zeros(n, jnp.float32),
+            jnp.zeros(4, jnp.float32),
+        ]
+
+    plan = low._simd_vmap_plan(f, n)
+    assert plan is not None, f"planner rejected a plannable kernel:\n{source}"
+    a1 = fresh_args()
+    got = low._run_simd_vmap(f, a1, n, *plan)
+    rng = np.random.default_rng(seed)  # same inputs for the scan run
+    a2 = fresh_args()
+    want = low._run_simd_scan(f, a2, n)
+    for name in ("out", "total"):
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]),
+            rtol=1e-6, atol=1e-6, err_msg=f"seed {seed} {name}\n{source}")
